@@ -1,0 +1,67 @@
+"""Benchmark: full-size FusionOcc inference throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload = the reference's inference configuration (BASELINE.md): 6 cams x 2
+temporal frames at 3x512x1408, 88 depth bins, LiDAR sweep cloud voxelized at
+0.05 m, fused 16x200x200 volume, 18-class occupancy head.  Latency is
+measured like tools/test.py:633-710 (warmup then timed loop around a blocking
+step).
+
+vs_baseline: the reference publishes no FusionOcc throughput; the north-star
+target (BASELINE.json) is >=5x an A100's frames/sec/chip.  Published
+FusionOcc-class camera+lidar occupancy models run ~1-3 fps on A100-class
+GPUs; we normalize against 2.0 fps so vs_baseline = fps / 2.0 (i.e. the
+target is vs_baseline >= 5.0).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+A100_REFERENCE_FPS = 2.0
+
+
+def main():
+    import jax
+
+    from fusionocc_tpu.config import full_model_config
+    from fusionocc_tpu.data.synthetic import synthetic_batch
+    from fusionocc_tpu.models.fusion_occ import FusionOcc
+
+    cfg = full_model_config()
+    model = FusionOcc(cfg)
+    batch = synthetic_batch(cfg, batch_size=1, seed=0)
+
+    variables = jax.jit(
+        lambda: model.init({'params': jax.random.PRNGKey(0),
+                            'dropout': jax.random.PRNGKey(1)},
+                           batch, train=False))()
+
+    @jax.jit
+    def predict(variables, batch):
+        return model.apply(variables, batch, method=FusionOcc.predict)
+
+    # warmup / compile
+    out = predict(variables, batch)
+    jax.block_until_ready(out)
+
+    n_warm, n_iter = 5, 20
+    for _ in range(n_warm):
+        jax.block_until_ready(predict(variables, batch))
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        jax.block_until_ready(predict(variables, batch))
+    dt = (time.perf_counter() - t0) / n_iter
+
+    fps = batch.imgs.shape[0] / dt
+    print(json.dumps({
+        'metric': 'fusionocc_camera_lidar_occupancy_infer_fps_per_chip',
+        'value': round(fps, 3),
+        'unit': 'frames/sec',
+        'vs_baseline': round(fps / A100_REFERENCE_FPS, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,233 @@
+"""Typed configuration for the TPU-native FusionOcc framework.
+
+Frozen dataclasses replace the reference's mmengine python-file config system
+(reference: projects/FusionOcc/configs/fusion_occ.py).  Every component reads
+its hyper-parameters from here; derived sizes (frustum depth bins, feature map
+shapes, voxel grid dims) are exposed as properties so that tiny test configs
+scale consistently.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class GridConfig:
+    """BEV/voxel grid bounds. Reference: configs/fusion_occ.py:38-43."""
+    x: Tuple[float, float, float] = (-40.0, 40.0, 0.4)
+    y: Tuple[float, float, float] = (-40.0, 40.0, 0.4)
+    z: Tuple[float, float, float] = (-1.0, 5.4, 0.4)
+    depth: Tuple[float, float, float] = (1.0, 45.0, 0.5)
+
+    @property
+    def size_x(self) -> int:
+        return int(round((self.x[1] - self.x[0]) / self.x[2]))
+
+    @property
+    def size_y(self) -> int:
+        return int(round((self.y[1] - self.y[0]) / self.y[2]))
+
+    @property
+    def size_z(self) -> int:
+        return int(round((self.z[1] - self.z[0]) / self.z[2]))
+
+    @property
+    def num_depth_bins(self) -> int:
+        lo, hi, step = self.depth
+        return int(round((hi - lo) / step))
+
+    @property
+    def lower_bound(self):
+        return jnp.asarray([self.x[0], self.y[0], self.z[0]], jnp.float32)
+
+    @property
+    def interval(self):
+        return jnp.asarray([self.x[2], self.y[2], self.z[2]], jnp.float32)
+
+    @property
+    def grid_size(self):
+        return (self.size_x, self.size_y, self.size_z)
+
+    @property
+    def point_cloud_range(self) -> Tuple[float, ...]:
+        return (self.x[0], self.y[0], self.z[0], self.x[1], self.y[1], self.z[1])
+
+
+@dataclass(frozen=True)
+class SwinConfig:
+    """Swin backbone. Reference: configs/fusion_occ.py:69-91 (Swin-Base)."""
+    embed_dims: int = 128
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: Tuple[int, ...] = (4, 8, 16, 32)
+    window_size: int = 12
+    patch_size: int = 4
+    mlp_ratio: int = 4
+    out_indices: Tuple[int, ...] = (2, 3)
+    qkv_bias: bool = True
+    drop_path_rate: float = 0.1
+    return_stereo_feat: bool = True
+    with_cp: bool = True  # remat the transformer blocks
+
+    @property
+    def num_features(self) -> Tuple[int, ...]:
+        return tuple(self.embed_dims * 2 ** i for i in range(len(self.depths)))
+
+
+@dataclass(frozen=True)
+class SparseEncoderConfig:
+    """LiDAR sparse encoder. Reference: fusionocc/lidar_encoder.py:33-57.
+
+    Static capacities (TPU requirement): points and per-stage active-voxel
+    buffers are padded to fixed sizes so that every step compiles once.
+    """
+    in_channels: int = 5
+    base_channels: int = 16
+    encoder_channels: Tuple[Tuple[int, ...], ...] = (
+        (16, 16, 32), (32, 32, 48), (48, 48, 64), (64, 64))
+    output_channels: int = 32
+    voxel_size: Tuple[float, float, float] = (0.05, 0.05, 0.05)
+    # Padded capacities: points after range filtering; active voxels per stage.
+    point_capacity: int = 2 ** 18
+    voxel_capacity: Tuple[int, ...] = (2 ** 17, 2 ** 16, 2 ** 15, 2 ** 14)
+
+    def sparse_shape(self, grid: GridConfig) -> Tuple[int, int, int]:
+        pcr = grid.point_cloud_range
+        return (
+            int(round((pcr[3] - pcr[0]) / self.voxel_size[0])),
+            int(round((pcr[4] - pcr[1]) / self.voxel_size[1])),
+            int(round((pcr[5] - pcr[2]) / self.voxel_size[2])),
+        )
+
+
+@dataclass(frozen=True)
+class ViewTransformerConfig:
+    """CrossModalLSS. Reference: configs/fusion_occ.py:100-114."""
+    in_channels: int = 256        # FPN output
+    mid_channels: int = 128
+    feature_channels: int = 32    # lifted context channels (16 seg + 16 ctx)
+    seg_num_classes: int = 18
+    downsample: int = 16
+    aspp_mid_channels: int = 96
+    depth_drop_rate: float = 0.5  # random depth-input dropping in training
+    sid: bool = False
+    collapse_z: bool = False
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Full FusionOcc model."""
+    num_cams: int = 6
+    num_adj: int = 1              # temporal adjacent camera frames
+    input_size: Tuple[int, int] = (512, 1408)
+    num_classes: int = 18
+    grid: GridConfig = field(default_factory=GridConfig)
+    swin: SwinConfig = field(default_factory=SwinConfig)
+    lidar: SparseEncoderConfig = field(default_factory=SparseEncoderConfig)
+    vt: ViewTransformerConfig = field(default_factory=ViewTransformerConfig)
+    img_neck_out_channels: int = 256
+    img_channels: int = 32        # per-frame image voxel channels
+    lidar_out_channels: int = 32
+    bev_num_layer: Tuple[int, ...] = (1, 2, 3)
+    bev_strides: Tuple[int, ...] = (1, 2, 2)
+    use_mask: bool = True
+    use_predicter: bool = True
+    fuse_loss_weight: float = 0.1
+    depth_loss_weight: float = 1.0
+    # numeric policy
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    @property
+    def num_frame(self) -> int:
+        return self.num_adj + 1
+
+    @property
+    def feat_size(self) -> Tuple[int, int]:
+        return (self.input_size[0] // self.vt.downsample,
+                self.input_size[1] // self.vt.downsample)
+
+    @property
+    def fusion_channels(self) -> int:
+        """Channels entering the BEV encoder: image frames + lidar."""
+        return self.img_channels * self.num_frame + self.lidar_out_channels
+
+    @property
+    def occ_channels(self) -> int:
+        """numC_Trans in the reference: img + lidar channel count."""
+        return self.img_channels + self.lidar_out_channels
+
+    @property
+    def bev_channels(self) -> Tuple[int, ...]:
+        c = self.occ_channels
+        return (c, c * 2, c * 4)
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+    @property
+    def pdtype(self):
+        return jnp.dtype(self.param_dtype)
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Reference: configs/fusion_occ.py:259-282 (baseline recipe)."""
+    lr: float = 5e-5
+    weight_decay: float = 1e-2
+    clip_norm: float = 5.0
+    warmup_iters: int = 500
+    warmup_start_factor: float = 1.0 / 3.0
+    max_epochs: int = 24
+    iters_per_epoch: int = 28130   # nuScenes train size / batch 1
+    eta_min_factor: float = 1e-3
+    ema_momentum: float = 0.001    # EMAHook momentum (decay = 1 - momentum)
+    accumulate_steps: int = 1
+    backbone_lr_mult: float = 1.0  # unified recipe uses 0.1 for backbone/VT
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    batch_size: int = 1            # per device
+    seed: int = 0
+
+
+def tiny_model_config(**overrides) -> ModelConfig:
+    """A scaled-down config used by unit tests (CPU-friendly).
+
+    Keeps every structural property of the full model (two temporal frames,
+    Swin stages, sparse encoder stages, LSS frustum) at toy sizes.
+    """
+    grid = GridConfig(
+        x=(-8.0, 8.0, 0.8), y=(-8.0, 8.0, 0.8), z=(-1.0, 2.2, 0.8),
+        depth=(1.0, 9.0, 1.0))
+    swin = SwinConfig(
+        embed_dims=16, depths=(1, 1, 2, 1), num_heads=(1, 2, 4, 8),
+        window_size=4, drop_path_rate=0.0, with_cp=False)
+    lidar = SparseEncoderConfig(
+        in_channels=5, base_channels=4,
+        encoder_channels=((4, 4, 8), (8, 8, 12), (12, 12, 16), (16, 16)),
+        output_channels=8,
+        voxel_size=(0.1, 0.1, 0.1),
+        point_capacity=2048,
+        voxel_capacity=(1024, 512, 256, 128))
+    vt = ViewTransformerConfig(
+        in_channels=32, mid_channels=16, feature_channels=8,
+        seg_num_classes=18, downsample=16, aspp_mid_channels=8)
+    cfg = ModelConfig(
+        num_cams=2, num_adj=1, input_size=(64, 128),
+        grid=grid, swin=swin, lidar=lidar, vt=vt,
+        img_neck_out_channels=32, img_channels=8, lidar_out_channels=8,
+        compute_dtype="float32")
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+def full_model_config(**overrides) -> ModelConfig:
+    cfg = ModelConfig()
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg

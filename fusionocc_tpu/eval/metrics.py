@@ -1,0 +1,79 @@
+"""Occ3D mIoU evaluation (jit-friendly confusion matrix).
+
+Mirrors Metric_mIoU (reference:
+projects/FusionOcc/fusionocc/datasets/occ_metrics.py:44-153): an 18x18
+confusion matrix accumulated over camera-masked voxels, per-class
+IoU = diag / (row + col - diag), mIoU = nanmean over classes 0..16 (the
+``free`` class 17 is excluded from the mean).
+
+The confusion matrix is a device array; under a data-sharded mesh the
+segment_sum reduces globally, which replaces the reference's CPU result
+gather (occupancy_metric.py:28-35).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CLASS_NAMES = ['others', 'barrier', 'bicycle', 'bus', 'car',
+               'construction_vehicle', 'motorcycle', 'pedestrian',
+               'traffic_cone', 'trailer', 'truck', 'driveable_surface',
+               'other_flat', 'sidewalk', 'terrain', 'manmade', 'vegetation',
+               'free']
+
+
+def confusion_matrix(pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
+                     num_classes: int = 18) -> jnp.ndarray:
+    """(num_classes, num_classes) counts of (gt, pred) over masked voxels."""
+    pred = jnp.clip(pred.reshape(-1).astype(jnp.int32), 0, num_classes - 1)
+    gt = gt.reshape(-1).astype(jnp.int32)
+    w = (mask.reshape(-1) & (gt >= 0) & (gt < num_classes))
+    key = jnp.where(w, gt * num_classes + pred, num_classes * num_classes)
+    hist = jax.ops.segment_sum(
+        jnp.ones_like(key, jnp.float32), key,
+        num_segments=num_classes * num_classes + 1)
+    return hist[:-1].reshape(num_classes, num_classes)
+
+
+def miou_from_hist(hist: np.ndarray) -> Dict[str, float]:
+    """Per-class IoU and masked mIoU (free class excluded from the mean)."""
+    hist = np.asarray(hist, np.float64)
+    diag = np.diag(hist)
+    denom = hist.sum(1) + hist.sum(0) - diag
+    with np.errstate(divide='ignore', invalid='ignore'):
+        iou = diag / denom
+    n = hist.shape[0]
+    out = {f'IoU_{CLASS_NAMES[i] if i < len(CLASS_NAMES) else i}':
+           float(round(v * 100, 2)) for i, v in enumerate(iou)}
+    out['mIoU'] = float(round(np.nanmean(iou[:n - 1]) * 100, 2))
+    return out
+
+
+class OccupancyMetric:
+    """Streaming evaluator: accumulate per-batch confusion matrices."""
+
+    def __init__(self, num_classes: int = 18, use_image_mask: bool = True,
+                 use_lidar_mask: bool = False):
+        self.num_classes = num_classes
+        self.use_image_mask = use_image_mask
+        self.use_lidar_mask = use_lidar_mask
+        self.hist = np.zeros((num_classes, num_classes), np.float64)
+        self.count = 0
+
+    def update(self, pred, gt, mask_camera=None, mask_lidar=None):
+        if self.use_image_mask and mask_camera is not None:
+            mask = mask_camera
+        elif self.use_lidar_mask and mask_lidar is not None:
+            mask = mask_lidar
+        else:
+            mask = jnp.ones(np.shape(gt), bool)
+        self.hist += np.asarray(
+            confusion_matrix(jnp.asarray(pred), jnp.asarray(gt),
+                             jnp.asarray(mask), self.num_classes))
+        self.count += int(np.shape(gt)[0]) if np.ndim(gt) == 4 else 1
+
+    def compute(self) -> Dict[str, float]:
+        return miou_from_hist(self.hist)

@@ -1,0 +1,153 @@
+"""FusionOcc: multi-modal temporal 3D semantic occupancy model (flax).
+
+TPU-native re-design of the reference detector
+(projects/FusionOcc/fusionocc/fusion_occ.py:431-920):
+
+  camera branch (per temporal frame, adjacent frames under stop_gradient):
+    Swin-Base -> FPN_LSS -> CrossModalLSS lift-splat -> pre_process ResNet3D
+  LiDAR branch:
+    voxelize -> sparse encoder -> dense voxel volume
+  fusion: channel concat [adj frames ..., key frame, lidar]
+    -> CustomResNet3D (3 scales) -> LSSFPN3D -> final conv -> MLP predicter
+    -> (B, X, Y, Z, num_classes) occupancy logits.
+
+Notes vs the reference:
+  - The pose chain (sensor2keyego) is computed host-side in float64
+    (data pipeline); the model consumes prepared per-frame poses.
+  - `align_after_view_transformation` is effectively False in the reference
+    (FusionOCC.__init__ overrides it, fusion_occ.py:509): every frame is
+    pooled directly into the key-ego voxel grid with its own pose, which is
+    also the fully-static-shape-friendly formulation — so that is the
+    primary path here.  A grid_sample shift path exists in ops for parity.
+  - All voxel tensors are channels-last (B, Z, Y, X, C).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..geometry import frustum_to_ego, get_mlp_input, make_frustum
+from ..ops.bev_pool import prepare_pooling_index
+from .fpn import FPN_LSS, LSSFPN3D, CustomResNet3D
+from .lidar_encoder import SparseEncoder
+from .lss import CrossModalLSS
+from ..nn.swin import SwinTransformer
+
+Dtype = Any
+
+
+class Batch(NamedTuple):
+    """One training/eval batch. F = num_frame (key + adjacent), N = cams."""
+    imgs: jnp.ndarray            # (B, F, N, H, W, 3) normalized images
+    sensor2keyego: jnp.ndarray   # (B, F, N, 4, 4) float32
+    intrins: jnp.ndarray         # (B, F, N, 3, 3)
+    post_rots: jnp.ndarray       # (B, F, N, 3, 3)
+    post_trans: jnp.ndarray      # (B, F, N, 3)
+    bda: jnp.ndarray             # (B, 3, 3)
+    points: jnp.ndarray          # (B, P, 5) padded ego-frame points
+    points_mask: jnp.ndarray     # (B, P) bool
+    sparse_depth: jnp.ndarray    # (B, N, H, W) metres (key frame)
+    segs: Optional[jnp.ndarray] = None             # (B, N, H, W) int32
+    voxel_semantics: Optional[jnp.ndarray] = None  # (B, X, Y, Z) int32
+    mask_camera: Optional[jnp.ndarray] = None      # (B, X, Y, Z) bool
+
+
+class FusionOcc(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        dt = cfg.dtype
+        self.img_backbone = SwinTransformer(cfg.swin, dtype=dt)
+        self.img_neck = FPN_LSS(cfg.img_neck_out_channels, dtype=dt)
+        self.img_view_transformer = CrossModalLSS(cfg.vt, cfg.grid, dtype=dt)
+        self.pre_process_net = CustomResNet3D(
+            (cfg.img_channels,), (1,), (1,), (0,), dtype=dt)
+        self.lidar_encoder = SparseEncoder(cfg.lidar, cfg.grid, dtype=dt)
+        self.bev_backbone = CustomResNet3D(
+            cfg.bev_channels, cfg.bev_num_layer, cfg.bev_strides,
+            (0, 1, 2), dtype=dt)
+        self.bev_neck = LSSFPN3D(cfg.occ_channels, dtype=dt)
+        self.final_conv = nn.Conv(cfg.occ_channels, (3, 3, 3), use_bias=True,
+                                  dtype=dt, param_dtype=jnp.float32)
+        self.predicter_fc1 = nn.Dense(cfg.occ_channels * 2, dtype=dt,
+                                      param_dtype=jnp.float32)
+        self.predicter_fc2 = nn.Dense(cfg.num_classes, dtype=jnp.float32,
+                                      param_dtype=jnp.float32)
+
+    def image_encoder(self, imgs, train: bool):
+        """(B, N, H, W, 3) -> (B, N, h, w, C_neck). fusion_occ.py:126-141."""
+        cfg = self.cfg
+        B, N, H, W, _ = imgs.shape
+        x = imgs.reshape(B * N, H, W, 3).astype(cfg.dtype)
+        feats = self.img_backbone(x, deterministic=not train)
+        if cfg.swin.return_stereo_feat:
+            feats = feats[1:]
+        y = self.img_neck(feats, train=train)
+        h, w = y.shape[1], y.shape[2]
+        return y.reshape(B, N, h, w, -1)
+
+    def _frame_voxel_feat(self, imgs_f, s2k_f, s2k_key, intrin_f, post_rot_f,
+                          post_tran_f, bda, sparse_depth, train: bool):
+        """One temporal frame through the camera branch.
+
+        Geometry uses the frame's own sensor2keyego so that adjacent frames
+        land directly in the key-ego grid (see module docstring).
+        """
+        cfg = self.cfg
+        mlp_input = get_mlp_input(s2k_key, intrin_f, post_rot_f, post_tran_f,
+                                  bda)
+        x = self.image_encoder(imgs_f, train)
+        frustum = make_frustum(cfg.grid.depth, cfg.input_size,
+                               cfg.vt.downsample, cfg.vt.sid)
+        coor = frustum_to_ego(frustum, s2k_f, intrin_f, post_rot_f,
+                              post_tran_f, bda)
+        pool_idx = prepare_pooling_index(coor, cfg.grid)
+        voxel, depth, seg = self.img_view_transformer(
+            x, sparse_depth, mlp_input, pool_idx, train=train)
+        voxel = self.pre_process_net(voxel, train=train)[0]
+        return voxel, depth, seg
+
+    def __call__(self, batch: Batch, train: bool = False) -> Dict[str, Any]:
+        cfg = self.cfg
+        F = cfg.num_frame
+
+        lidar_feat = self.lidar_encoder(batch.points, batch.points_mask,
+                                        train=train)
+
+        voxel_feats = []          # order: [frame F-1 (oldest) ... frame 0]
+        depth_key = seg_key = None
+        for fid in range(F - 1, -1, -1):
+            voxel, depth, seg = self._frame_voxel_feat(
+                batch.imgs[:, fid], batch.sensor2keyego[:, fid],
+                batch.sensor2keyego[:, 0], batch.intrins[:, fid],
+                batch.post_rots[:, fid], batch.post_trans[:, fid],
+                batch.bda, batch.sparse_depth, train)
+            if fid == 0:
+                depth_key, seg_key = depth, seg
+            else:
+                voxel = jax.lax.stop_gradient(voxel)
+            voxel_feats.append(voxel)
+
+        fusion = jnp.concatenate(
+            voxel_feats + [lidar_feat.astype(cfg.dtype)], axis=-1)
+        feats = self.bev_backbone(fusion, train=train)
+        x = self.bev_neck(feats, train=train)           # (B, Z, Y, X, C)
+        x = nn.relu(self.final_conv(x))
+        x = jnp.transpose(x, (0, 3, 2, 1, 4))           # (B, X, Y, Z, C)
+        h = nn.softplus(self.predicter_fc1(x))
+        logits = self.predicter_fc2(h)                  # (B, X, Y, Z, ncls)
+        return {
+            'occ_logits': logits.astype(jnp.float32),
+            'depth': depth_key,     # (B, N, h, w, D) softmaxed
+            'seg_logits': seg_key,  # (B, N, h, w, num_seg)
+        }
+
+    def predict(self, batch: Batch) -> jnp.ndarray:
+        """Inference: (B, X, Y, Z) uint8 class ids (fusion_occ.py:877-920)."""
+        out = self(batch, train=False)
+        return jnp.argmax(out['occ_logits'], axis=-1).astype(jnp.uint8)

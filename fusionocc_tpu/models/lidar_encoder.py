@@ -1,0 +1,125 @@
+"""LiDAR branch: dynamic voxelization + sparse 3D conv encoder.
+
+TPU-native re-design of CustomSparseEncoder
+(reference: fusionocc/lidar_encoder.py:31-246):
+  - scatter_voxelize -> ops.voxelize.voxelize_mean (fp32, stop-gradient, like
+    the reference's @torch.no_grad @force_fp32 voxelization)
+  - SubMConv3d/SparseConv3d stacks -> gather-GEMM-scatter over static-capacity
+    voxel buffers (ops.sparse_conv), with spconv-style shared neighbor maps
+    per (resolution, kind) — the `indice_key` mechanism.
+  - .dense() -> unique-index scatter into (B, Z, Y, X, C).
+
+Channel plan (encoder_channels, lidar_encoder.py:42): stage i has
+len(blocks)-1 SubM convs followed (stages 1..3) by a stride-2 SparseConv3d;
+then a 1x1 SubM out-projection with neither norm nor activation
+(order=("conv",), lidar_encoder.py:80-89).
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import GridConfig, SparseEncoderConfig
+from ..nn.layers import MaskedBatchNorm
+from ..ops.sparse_conv import (build_strided_index, build_subm_index,
+                               sparse_conv1x1_apply, sparse_conv_apply,
+                               sparse_to_dense)
+from ..ops.voxelize import SparseVoxels, voxelize_mean
+
+Dtype = Any
+
+
+class SubMConvBN(nn.Module):
+    """Submanifold 3x3x3 conv + masked BN + ReLU over a COO voxel set."""
+    features: int
+    norm: bool = True
+    act: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, mask, nbr_idx, train: bool = False):
+        cin = feats.shape[-1]
+        w = self.param('kernel', nn.initializers.he_normal(),
+                       (27, cin, self.features), jnp.float32)
+        y = sparse_conv_apply(feats, mask, nbr_idx, w)
+        if self.norm:
+            y = MaskedBatchNorm(dtype=self.dtype)(y, mask, train=train)
+        if self.act:
+            y = nn.relu(y)
+        return y
+
+
+class SparseConvBNStride2(nn.Module):
+    """Strided sparse conv (new active set) + masked BN + ReLU."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, out_mask, nbr_idx, train: bool = False):
+        cin = feats.shape[-1]
+        w = self.param('kernel', nn.initializers.he_normal(),
+                       (27, cin, self.features), jnp.float32)
+        y = sparse_conv_apply(feats, out_mask, nbr_idx, w)
+        y = MaskedBatchNorm(dtype=self.dtype)(y, out_mask, train=train)
+        return nn.relu(y)
+
+
+class SparseEncoder(nn.Module):
+    """Full LiDAR encoder: points -> dense (B, Z, Y, X, C_out) voxel volume."""
+    cfg: SparseEncoderConfig
+    grid: GridConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, points: jnp.ndarray, points_mask: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        cfg = self.cfg
+        shape = cfg.sparse_shape(self.grid)
+        pcr = self.grid.point_cloud_range
+
+        sp = voxelize_mean(
+            jax.lax.stop_gradient(points.astype(jnp.float32)),
+            points_mask, pcr, cfg.voxel_size, shape, cfg.voxel_capacity[0])
+        feats = sp.feats.astype(self.dtype)
+
+        # conv_input: 1x1 SubM, conv only (lidar_encoder.py:65-74)
+        w_in = self.param('conv_input_kernel', nn.initializers.he_normal(),
+                          (cfg.in_channels, cfg.base_channels), jnp.float32)
+        feats = sparse_conv1x1_apply(feats, sp.mask, w_in)
+
+        cur = SparseVoxels(feats, sp.coords, sp.keys, sp.mask)
+        cur_shape = shape
+        num_stages = len(cfg.encoder_channels)
+        for i, blocks in enumerate(cfg.encoder_channels):
+            nbr = build_subm_index(cur, cur_shape)  # shared indice_key subm{i}
+            n_subm = len(blocks) - 1 if i < num_stages - 1 else len(blocks)
+            f = cur.feats
+            for j in range(n_subm):
+                f = SubMConvBN(blocks[j], dtype=self.dtype,
+                               name=f'stage{i}_subm{j}')(
+                    f, cur.mask, nbr, train=train)
+            if i < num_stages - 1:
+                (oc, okeys, om, snbr), out_shape = build_strided_index(
+                    SparseVoxels(f, cur.coords, cur.keys, cur.mask),
+                    cur_shape, cfg.voxel_capacity[i + 1])
+                f = SparseConvBNStride2(blocks[-1], dtype=self.dtype,
+                                        name=f'stage{i}_down')(
+                    f, om, snbr, train=train)
+                cur = SparseVoxels(f, oc, okeys, om)
+                cur_shape = out_shape
+            else:
+                cur = SparseVoxels(f, cur.coords, cur.keys, cur.mask)
+
+        # conv_out: 1x1 SubM, conv only (lidar_encoder.py:80-89)
+        w_out = self.param('conv_out_kernel', nn.initializers.he_normal(),
+                           (cur.feats.shape[-1], cfg.output_channels),
+                           jnp.float32)
+        f = sparse_conv1x1_apply(cur.feats, cur.mask, w_out)
+
+        dense = sparse_to_dense(f, cur.coords, cur.mask, cur_shape)
+        # (B, X, Y, Z, C) -> (B, Z, Y, X, C): matches the image voxel layout
+        # (the reference permutes to (B, C, z, y, x), fusion_occ.py:795)
+        return jnp.transpose(dense, (0, 3, 2, 1, 4))

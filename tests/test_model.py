@@ -1,0 +1,75 @@
+"""End-to-end model smoke tests on the tiny config: init, forward shapes,
+loss computation, gradient flow."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fusionocc_tpu.config import tiny_model_config
+from fusionocc_tpu.data.synthetic import synthetic_batch
+from fusionocc_tpu.models.fusion_occ import FusionOcc
+from fusionocc_tpu.train.losses import total_loss
+
+
+@pytest.fixture(scope='module')
+def setup():
+    cfg = tiny_model_config()
+    model = FusionOcc(cfg)
+    batch = synthetic_batch(cfg, batch_size=1, seed=0, num_points=512)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+        batch, train=False)
+    return cfg, model, batch, variables
+
+
+def test_forward_shapes(setup):
+    cfg, model, batch, variables = setup
+    out = model.apply(variables, batch, train=False)
+    gx, gy, gz = cfg.grid.grid_size
+    assert out['occ_logits'].shape == (1, gx, gy, gz, cfg.num_classes)
+    h, w = cfg.feat_size
+    D = cfg.grid.num_depth_bins
+    assert out['depth'].shape == (1, cfg.num_cams, h, w, D)
+    assert out['seg_logits'].shape == (1, cfg.num_cams, h, w,
+                                       cfg.vt.seg_num_classes)
+    # depth is a distribution
+    s = np.asarray(jnp.sum(out['depth'], axis=-1))
+    np.testing.assert_allclose(s, np.ones_like(s), atol=1e-4)
+    assert np.all(np.isfinite(np.asarray(out['occ_logits'])))
+
+
+def test_train_mode_loss_and_grads(setup):
+    cfg, model, batch, variables = setup
+
+    def loss_fn(params):
+        out, new_state = model.apply(
+            {'params': params, 'batch_stats': variables['batch_stats']},
+            batch, train=True,
+            rngs={'dropout': jax.random.PRNGKey(2)},
+            mutable=['batch_stats'])
+        loss, logs = total_loss(out, batch, cfg)
+        return loss, logs
+
+    (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables['params'])
+    assert np.isfinite(float(loss))
+    for k in ('depth_loss', 'seg_loss', 'loss_occ'):
+        assert np.isfinite(float(logs[k])), k
+    # gradient reaches every major subtree
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    nonzero_roots = set()
+    for path, leaf in flat:
+        if np.any(np.abs(np.asarray(leaf)) > 0):
+            nonzero_roots.add(path[0].key)
+    for root in ('img_backbone', 'img_neck', 'img_view_transformer',
+                 'lidar_encoder', 'bev_backbone', 'bev_neck', 'final_conv',
+                 'predicter_fc1', 'predicter_fc2', 'pre_process_net'):
+        assert root in nonzero_roots, f'no gradient into {root}'
+
+
+def test_predict_dtype(setup):
+    cfg, model, batch, variables = setup
+    pred = model.apply(variables, batch, method=FusionOcc.predict)
+    assert pred.dtype == jnp.uint8
+    assert pred.shape == (1,) + cfg.grid.grid_size
+    assert int(np.max(np.asarray(pred))) < cfg.num_classes

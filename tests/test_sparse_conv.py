@@ -1,0 +1,109 @@
+"""Sparse conv vs dense lax.conv on the densified grid.
+
+Submanifold: dense conv output restricted to active input sites must match.
+Strided: dense strided conv at derived active output sites must match, and the
+derived active set must equal spconv's receptive-field rule.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fusionocc_tpu.ops.sparse_conv import (build_strided_index,
+                                           build_subm_index,
+                                           out_shape_strided,
+                                           sparse_conv_apply, sparse_to_dense)
+from fusionocc_tpu.ops.voxelize import SparseVoxels, coords_to_key
+
+
+def _random_sparse(rng, B, V, shape, cin, density_pts=60):
+    feats = np.zeros((B, V, cin), np.float32)
+    coords = np.zeros((B, V, 3), np.int32)
+    keys = np.full((B, V), shape[0] * shape[1] * shape[2], np.int32)
+    mask = np.zeros((B, V), bool)
+    for b in range(B):
+        pts = rng.randint(0, shape, size=(density_pts, 3))
+        key = (pts[:, 0] * shape[1] + pts[:, 1]) * shape[2] + pts[:, 2]
+        uniq, first = np.unique(key, return_index=True)
+        n = min(len(uniq), V)
+        keys[b, :n] = uniq[:n]
+        coords[b, :n] = pts[first][:n]
+        # re-derive coords from sorted keys to keep coords/keys aligned
+        x = uniq[:n] // (shape[1] * shape[2])
+        rem = uniq[:n] - x * shape[1] * shape[2]
+        coords[b, :n] = np.stack([x, rem // shape[2], rem % shape[2]], -1)
+        mask[b, :n] = True
+        feats[b, :n] = rng.randn(n, cin)
+    return SparseVoxels(jnp.asarray(feats), jnp.asarray(coords),
+                        jnp.asarray(keys), jnp.asarray(mask))
+
+
+def _dense_conv3d(dense, weight, stride):
+    # dense: (B, X, Y, Z, C) -> NCDHW conv, kernel (27, Cin, Cout) row-major
+    x = jnp.transpose(dense, (0, 4, 1, 2, 3))
+    w = weight.reshape(3, 3, 3, weight.shape[1], weight.shape[2])
+    w = jnp.transpose(w, (4, 3, 0, 1, 2))  # (Cout, Cin, kx, ky, kz)
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,) * 3, padding=((1, 1),) * 3,
+        dimension_numbers=('NCDHW', 'OIDHW', 'NCDHW'))
+    return jnp.transpose(out, (0, 2, 3, 4, 1))
+
+
+def test_subm_conv_matches_dense():
+    rng = np.random.RandomState(0)
+    shape, B, V, cin, cout = (10, 9, 6), 2, 64, 4, 5
+    sp = _random_sparse(rng, B, V, shape, cin)
+    weight = jnp.asarray(rng.randn(27, cin, cout), jnp.float32) * 0.1
+    bias = jnp.asarray(rng.randn(cout), jnp.float32)
+
+    nbr = build_subm_index(sp, shape)
+    out = sparse_conv_apply(sp.feats, sp.mask, nbr, weight, bias)
+
+    dense = sparse_to_dense(sp.feats, sp.coords, sp.mask, shape)
+    ref = _dense_conv3d(dense, weight, 1) + bias
+    got_dense = sparse_to_dense(out, sp.coords, sp.mask, shape)
+    active = np.asarray(
+        sparse_to_dense(jnp.ones_like(sp.feats[..., :1]), sp.coords, sp.mask,
+                        shape))[..., 0] > 0
+    np.testing.assert_allclose(np.asarray(got_dense)[active],
+                               np.asarray(ref)[active],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_strided_conv_matches_dense():
+    rng = np.random.RandomState(1)
+    shape, B, V, cin, cout = (12, 10, 8), 2, 64, 3, 4
+    sp = _random_sparse(rng, B, V, shape, cin)
+    weight = jnp.asarray(rng.randn(27, cin, cout), jnp.float32) * 0.1
+
+    (oc, okeys, om, nbr), shape_out = build_strided_index(sp, shape, 128)
+    out = sparse_conv_apply(sp.feats, om, nbr, weight)
+
+    assert shape_out == out_shape_strided(shape)
+    dense = sparse_to_dense(sp.feats, sp.coords, sp.mask, shape)
+    ref = _dense_conv3d(dense, weight, 2)
+
+    # active-output rule: any output whose 3^3 stride-2 receptive field
+    # covers an active input voxel
+    active_in = np.asarray(sp.mask)
+    coords_in = np.asarray(sp.coords)
+    expect_active = [set() for _ in range(B)]
+    for b in range(B):
+        for vtx in coords_in[b][active_in[b]]:
+            for dx in range(3):
+                for dy in range(3):
+                    for dz in range(3):
+                        o = (vtx + 1 - np.array([dx, dy, dz]))
+                        if np.all(o % 2 == 0):
+                            o = o // 2
+                            if np.all(o >= 0) and np.all(o < shape_out):
+                                expect_active[b].add(tuple(o))
+    for b in range(B):
+        got = set(map(tuple, np.asarray(oc[b])[np.asarray(om[b])].tolist()))
+        assert got == expect_active[b]
+
+    got_dense = np.asarray(sparse_to_dense(out, oc, om, shape_out))
+    ref = np.asarray(ref)
+    for b in range(B):
+        for o in expect_active[b]:
+            np.testing.assert_allclose(got_dense[b][o], ref[b][o],
+                                       rtol=1e-4, atol=1e-4)
