@@ -1,0 +1,223 @@
+"""nuScenes occupancy dataset: pkl infos -> model-ready samples.
+
+Host-side equivalent of NuScenesDatasetOccpancy + its transform pipeline
+(reference: fusionocc/datasets/fusionocc_dataset.py:137-478 and
+configs/fusion_occ.py:153-211):
+
+  per index:
+    - current info + adjacent camera frames (multi_adj_frame_id_cfg,
+      default (1,2,1) -> 1 previous frame) + adjacent lidar sweeps
+      ((1,8,1) -> 7 previous frames), clamped at scene boundaries by
+      duplicating the current frame (fusionocc_dataset.py:253-266)
+    - PrepareImageSeg: load 6 cams x num_frame JPEGs, per-camera aug,
+      normalization (R<->B quirk), seg label maps
+    - LoadOccGTFromFile: labels.npz -> semantics + masks
+    - points: load + FuseAdjacentSweeps + lidar->ego + range filter
+    - LoadAnnotationsAll: BDA matrix, GT/point flips
+    - PointToMultiViewDepth: z-buffered per-camera sparse depth
+    - pad/stack into the static-shape Batch
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import ModelConfig
+from ..geometry import pose_matrix, sensor2keyego_chain
+from . import pipeline as pl
+
+CAM_ORDER = ['CAM_FRONT_LEFT', 'CAM_FRONT', 'CAM_FRONT_RIGHT',
+             'CAM_BACK_LEFT', 'CAM_BACK', 'CAM_BACK_RIGHT']
+
+
+class NuScenesOccDataset:
+    """Maps index -> dict of Batch fields (numpy, unbatched)."""
+
+    def __init__(self, ann_file: str, cfg: ModelConfig,
+                 data_root: str = '', img_seg_dir: Optional[str] = None,
+                 train: bool = False, seed: int = 0,
+                 adj_cam: Tuple[int, int, int] = (1, 2, 1),
+                 adj_lidar: Tuple[int, int, int] = (1, 8, 1)):
+        self.cfg = cfg
+        self.train = train
+        self.data_root = data_root
+        self.img_seg_dir = img_seg_dir
+        self.adj_cam_ids = list(range(*adj_cam))
+        self.adj_lidar_ids = list(range(*adj_lidar))
+        self.rng = np.random.RandomState(seed)
+        with open(ann_file, 'rb') as f:
+            data = pickle.load(f)
+        infos = data['data_list'] if 'data_list' in data else data['infos']
+        self.infos = sorted(infos, key=lambda e: e['timestamp'])
+
+    def __len__(self) -> int:
+        return len(self.infos)
+
+    # -- adjacency (scene-bounded) -----------------------------------------
+    def _adj_info(self, index: int, offset: int) -> Dict:
+        j = index - offset
+        if j < 0 or j >= len(self.infos):
+            return self.infos[index]
+        if self.infos[j].get('scene_token') != \
+                self.infos[index].get('scene_token'):
+            return self.infos[index]
+        return self.infos[j]
+
+    def _path(self, p: str) -> str:
+        if p.startswith('./'):
+            p = p[2:]
+        return os.path.join(self.data_root, p) if self.data_root else p
+
+    # -- per-camera geometry ----------------------------------------------
+    @staticmethod
+    def _cam_poses(cam_info: Dict) -> Tuple[np.ndarray, np.ndarray]:
+        s2e = pose_matrix(cam_info['sensor2ego_rotation'],
+                          cam_info['sensor2ego_translation'])
+        e2g = pose_matrix(cam_info['ego2global_rotation'],
+                          cam_info['ego2global_translation'])
+        return s2e, e2g
+
+    def _load_camera_frames(self, infos: List[Dict]):
+        """All frames x cams: images, seg labels, poses, intrinsics, aug."""
+        from PIL import Image
+        cfg = self.cfg
+        F, N = len(infos), len(CAM_ORDER)
+        H, W = cfg.input_size
+        imgs = np.zeros((F, N, H, W, 3), np.float32)
+        segs = np.full((N, H, W), 17, np.int32)
+        s2e = np.zeros((F, N, 4, 4))
+        e2g = np.zeros((F, N, 4, 4))
+        intrins = np.zeros((F, N, 3, 3), np.float32)
+        post_rots = np.zeros((F, N, 3, 3), np.float32)
+        post_trans = np.zeros((F, N, 3), np.float32)
+
+        # one aug per camera, shared across temporal frames (the reference
+        # applies the same sampled aug to curr + adjacent, loading.py:430-456)
+        augs = []
+        for f, info in enumerate(infos):
+            cams = info['cams']
+            for n, cam_name in enumerate(CAM_ORDER):
+                ci = cams[cam_name]
+                path = self._path(ci['data_path'])
+                img = Image.open(path)
+                if f == 0:
+                    augs.append(pl.sample_image_aug(
+                        (img.size[1], img.size[0]), cfg.input_size,
+                        self.train, self.rng))
+                aug = augs[n]
+                timg = pl.transform_image(img, aug)
+                imgs[f, n] = pl.normalize_image(np.asarray(timg))
+                pr, pt = pl.aug_homography(aug)
+                post_rots[f, n], post_trans[f, n] = pr, pt
+                intrins[f, n] = np.asarray(
+                    ci.get('cam_intrinsic', ci.get('camera_intrinsics')),
+                    np.float32)
+                s2e[f, n], e2g[f, n] = self._cam_poses(ci)
+                if f == 0 and self.img_seg_dir:
+                    segs[n] = self._load_seg(path, aug)
+        return imgs, segs, s2e, e2g, intrins, post_rots, post_trans, augs
+
+    def _load_seg(self, img_path: str, aug: pl.ImageAug,
+                  restore_upsample: int = 8) -> np.ndarray:
+        """1/8-res .npy seg map -> full-res nearest -> same aug
+        (loading.py:106-130)."""
+        name = img_path.split('samples')[-1].replace('.jpg', '.npy')
+        seg = np.load(self.img_seg_dir + name)
+        seg = np.repeat(np.repeat(seg, restore_upsample, 1),
+                        restore_upsample, 0)
+        out = pl.transform_image(seg.astype(np.uint8), aug, nearest=True)
+        return np.asarray(out, np.int32)
+
+    # -- lidar --------------------------------------------------------------
+    def _load_points(self, index: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        info = self.infos[index]
+        l2e = pose_matrix(info['lidar2ego_rotation'],
+                          info['lidar2ego_translation'])
+        e2g = pose_matrix(info['ego2global_rotation'],
+                          info['ego2global_translation'])
+        curr = pl.load_points_bin(self._path(info['lidar_path']))
+        sweeps = []
+        for off in self.adj_lidar_ids:
+            ai = self._adj_info(index, off)
+            if ai is self.infos[index]:
+                continue
+            al2e = pose_matrix(ai['lidar2ego_rotation'],
+                               ai['lidar2ego_translation'])
+            ae2g = pose_matrix(ai['ego2global_rotation'],
+                               ai['ego2global_translation'])
+            sweeps.append((pl.load_points_bin(self._path(ai['lidar_path'])),
+                           al2e, ae2g))
+        fused = pl.fuse_adjacent_sweeps(curr, l2e, e2g, sweeps, self.rng)
+        return fused, curr, l2e
+
+    # -- main ---------------------------------------------------------------
+    def __getitem__(self, index: int) -> Dict:
+        cfg = self.cfg
+        info = self.infos[index]
+        cam_infos = [info] + [self._adj_info(index, o)
+                              for o in self.adj_cam_ids]
+        (imgs, segs, s2e, e2g, intrins, post_rots, post_trans,
+         augs) = self._load_camera_frames(cam_infos)
+        s2k = sensor2keyego_chain(s2e, e2g)
+
+        # occupancy GT
+        occ = np.load(os.path.join(self._path(info['occ_path']),
+                                   'labels.npz'))
+        voxel_semantics = occ['semantics'].astype(np.int32)
+        mask_camera = occ['mask_camera'].astype(bool)
+        mask_lidar = occ.get('mask_lidar', mask_camera).astype(bool)
+
+        # points
+        fused, curr_points, l2e = self._load_points(index)
+        ego_pts = pl.points_lidar_to_ego(fused, l2e)
+        ego_pts = pl.filter_points_range(ego_pts, cfg.grid.point_cloud_range)
+
+        # BDA
+        bda, _, _, fdx, fdy = pl.sample_bda(self.rng, self.train)
+        ego_pts = pl.apply_bda_to_points(ego_pts, bda)
+        voxel_semantics, (mask_camera, mask_lidar) = pl.apply_bda_to_voxels(
+            voxel_semantics, [mask_camera, mask_lidar], fdx, fdy)
+
+        # sparse depth from CURRENT-frame raw points (depth_transforms.py:62+:
+        # uses curr_points projected per camera with the full lidar2cam chain)
+        H, W = cfg.input_size
+        lidarego2global = pose_matrix(info['ego2global_rotation'],
+                                      info['ego2global_translation'])
+        sparse_depth = np.zeros((len(CAM_ORDER), H, W), np.float32)
+        for n, cam_name in enumerate(CAM_ORDER):
+            ci = info['cams'][cam_name]
+            cam2camego, camego2global = self._cam_poses(ci)
+            lidar2cam = (np.linalg.inv(camego2global @ cam2camego)
+                         @ lidarego2global @ l2e)
+            uvd = pl.project_points_to_cam(
+                curr_points, lidar2cam.astype(np.float32), intrins[0, n],
+                post_rots[0, n], post_trans[0, n])
+            sparse_depth[n] = pl.points_to_depthmap_np(
+                uvd, H, W, (cfg.grid.depth[0], cfg.grid.depth[1]))
+
+        points, points_mask = pl.pad_points(ego_pts,
+                                            cfg.lidar.point_capacity)
+        return dict(
+            imgs=imgs, sensor2keyego=s2k, intrins=intrins,
+            post_rots=post_rots, post_trans=post_trans, bda=bda,
+            points=points, points_mask=points_mask,
+            sparse_depth=sparse_depth, segs=segs,
+            voxel_semantics=voxel_semantics, mask_camera=mask_camera)
+
+
+def data_loader(dataset: NuScenesOccDataset, batch_size: int,
+                shuffle: bool, seed: int = 0, drop_last: bool = True):
+    """Minimal host loader: yields stacked Batches."""
+    order = np.arange(len(dataset))
+    rng = np.random.RandomState(seed)
+    if shuffle:
+        rng.shuffle(order)
+    for i in range(0, len(order) - (batch_size - 1 if drop_last else 0),
+                   batch_size):
+        idxs = order[i:i + batch_size]
+        if drop_last and len(idxs) < batch_size:
+            break
+        yield pl.stack_batch([dataset[int(j)] for j in idxs])

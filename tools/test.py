@@ -1,0 +1,128 @@
+"""Evaluation / benchmark CLI.
+
+Equivalent of the reference's tools/test.py: checkpoint load, (subset) val
+sweep, Occ3D mIoU report, latency + memory instrumentation with warmup
+(reference: tools/test.py:325-418,633-710). Falls back to synthetic data for
+harness testing (--synthetic).
+
+Usage:
+  python tools/test.py --ann-file ...infos_val.pkl --checkpoint work_dirs/...
+  python tools/test.py --synthetic --max-samples 4      # harness smoke
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--ann-file', default=None)
+    ap.add_argument('--data-root', default='')
+    ap.add_argument('--img-seg-dir', default=None)
+    ap.add_argument('--checkpoint', default=None)
+    ap.add_argument('--synthetic', action='store_true')
+    ap.add_argument('--tiny', action='store_true')
+    ap.add_argument('--max-samples', type=int, default=0)
+    ap.add_argument('--batch-size', type=int, default=1)
+    ap.add_argument('--warmup', type=int, default=5)
+    ap.add_argument('--no-ema', action='store_true')
+    ap.add_argument('--save-predictions', default=None,
+                    help='directory for per-sample .npz prediction dumps')
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from fusionocc_tpu.config import (TrainConfig, full_model_config,
+                                      tiny_model_config)
+    from fusionocc_tpu.data.synthetic import synthetic_batch
+    from fusionocc_tpu.eval.metrics import OccupancyMetric
+    from fusionocc_tpu.models.fusion_occ import FusionOcc
+    from fusionocc_tpu.train import checkpoint as ckpt
+    from fusionocc_tpu.train.loop import create_train_state
+
+    model_cfg = tiny_model_config() if args.tiny else full_model_config()
+
+    if args.synthetic:
+        n = args.max_samples or 4
+        def batches():
+            for i in range(n):
+                yield synthetic_batch(model_cfg, args.batch_size, seed=i)
+    else:
+        from fusionocc_tpu.data.dataset import NuScenesOccDataset, data_loader
+        ds = NuScenesOccDataset(args.ann_file, model_cfg,
+                                data_root=args.data_root,
+                                img_seg_dir=args.img_seg_dir, train=False)
+        def batches():
+            count = 0
+            for b in data_loader(ds, args.batch_size, shuffle=False):
+                if args.max_samples and count >= args.max_samples:
+                    return
+                count += args.batch_size
+                yield b
+
+    gen = batches()
+    first = next(gen)
+    cfg = TrainConfig(model=model_cfg)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), first)
+    if args.checkpoint:
+        path = (ckpt.latest_checkpoint(args.checkpoint)
+                if os.path.isdir(args.checkpoint) else args.checkpoint)
+        state = ckpt.restore_checkpoint(path, state)
+        print(f'loaded checkpoint {path} (step {int(state.step)})')
+
+    params = state.params if args.no_ema else state.ema_params
+
+    @jax.jit
+    def predict(batch):
+        return model.apply(
+            {'params': params, 'batch_stats': state.batch_stats},
+            batch, method=FusionOcc.predict)
+
+    metric = OccupancyMetric(num_classes=model_cfg.num_classes,
+                             use_image_mask=model_cfg.use_mask)
+    lat = []
+    count = 0
+    if args.save_predictions:
+        os.makedirs(args.save_predictions, exist_ok=True)
+
+    def run(batch):
+        nonlocal count
+        t0 = time.perf_counter()
+        pred = jax.block_until_ready(predict(batch))
+        lat.append(time.perf_counter() - t0)
+        if batch.voxel_semantics is not None:
+            metric.update(pred, batch.voxel_semantics,
+                          mask_camera=batch.mask_camera)
+        if args.save_predictions:
+            np.savez_compressed(
+                os.path.join(args.save_predictions, f'pred_{count:06d}.npz'),
+                occ_pred=np.asarray(pred))
+        count += batch.imgs.shape[0]
+
+    run(first)
+    for b in gen:
+        run(b)
+
+    res = metric.compute()
+    warm = lat[min(args.warmup, len(lat) - 1):]
+    res.update({
+        'samples': count,
+        'latency_mean_ms': round(float(np.mean(warm)) * 1000, 2),
+        'latency_p50_ms': round(float(np.percentile(warm, 50)) * 1000, 2),
+        'latency_p90_ms': round(float(np.percentile(warm, 90)) * 1000, 2),
+        'fps': round(count / max(sum(lat), 1e-9), 3),
+    })
+    for k, v in res.items():
+        print(f'{k}: {v}')
+    print(json.dumps(res))
+
+
+if __name__ == '__main__':
+    main()
