@@ -119,7 +119,7 @@ class SparseEncoder(nn.Module):
                            jnp.float32)
         f = sparse_conv1x1_apply(cur.feats, cur.mask, w_out)
 
-        dense = sparse_to_dense(f, cur.coords, cur.mask, cur_shape)
+        dense = sparse_to_dense(f, cur.keys, cur.mask, cur_shape)
         # (B, X, Y, Z, C) -> (B, Z, Y, X, C): matches the image voxel layout
         # (the reference permutes to (B, C, z, y, x), fusion_occ.py:795)
         return jnp.transpose(dense, (0, 3, 2, 1, 4))

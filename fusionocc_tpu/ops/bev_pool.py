@@ -34,13 +34,14 @@ from ..config import GridConfig
 class PoolingIndex(NamedTuple):
     """Rank tensors sorted ascending by ``ranks_bev`` (sentinel last).
 
-    All have static length P = B*N*D*Hf*Wf.
+    All have static length P = B*N*D*Hf*Wf. The sentinel/segment count is
+    B * Z * Y * X, derived from the grid by consumers (kept out of the
+    pytree so the index can cross jit boundaries).
     """
     ranks_depth: jnp.ndarray   # (P,) int32 into flattened depth
     ranks_feat: jnp.ndarray    # (P,) int32 into flattened feat rows
     ranks_bev: jnp.ndarray     # (P,) int32 voxel rank; invalid = num_voxels
     order_by_feat: jnp.ndarray  # (P,) int32 permutation sorting by ranks_feat
-    num_voxels: int            # static: B * Z * Y * X
 
 
 def prepare_pooling_index(coor: jnp.ndarray, grid: GridConfig) -> PoolingIndex:
@@ -78,30 +79,28 @@ def prepare_pooling_index(coor: jnp.ndarray, grid: GridConfig) -> PoolingIndex:
     rf_s = ranks_feat[order]
     order_by_feat = jnp.argsort(rf_s).astype(jnp.int32)
     return PoolingIndex(rd_s.astype(jnp.int32), rf_s.astype(jnp.int32),
-                        rank_s.astype(jnp.int32), order_by_feat, num_voxels)
+                        rank_s.astype(jnp.int32), order_by_feat)
 
 
 def _sorted_segment_sum(vals: jnp.ndarray, seg: jnp.ndarray,
                         num_segments: int) -> jnp.ndarray:
-    """Segmented sum for ascending ``seg`` ids via cumsum + unique scatters.
+    """Segmented sum for ascending ``seg`` ids — scatter-free.
+
+    cumsum along the point axis, then gather the cumulative values at the
+    segment boundaries found by vectorized binary search.  XLA scatters are
+    slow on TPU while cumsum/searchsorted/gather all map well onto the VPU,
+    so this formulation is ~100x faster than a scatter-add at these sizes.
 
     vals: (P, C) float32; seg: (P,) int32 in [0, num_segments]; ids equal to
     ``num_segments`` are a dropped sentinel. Returns (num_segments, C).
     """
     P, C = vals.shape
     csum = jnp.cumsum(vals.astype(jnp.float32), axis=0)
-    nxt = jnp.concatenate([seg[1:], jnp.full((1,), -1, seg.dtype)])
-    prv = jnp.concatenate([jnp.full((1,), -1, seg.dtype), seg[:-1]])
-    is_last = seg != nxt
-    is_first = seg != prv
-    ends = jnp.where(is_last, seg, num_segments)
-    starts = jnp.where(is_first, seg, num_segments)
-    prev_csum = jnp.concatenate(
-        [jnp.zeros((1, C), jnp.float32), csum[:-1]], axis=0)
-    zeros = jnp.zeros((num_segments + 1, C), jnp.float32)
-    upper = zeros.at[ends].set(csum, mode='drop', unique_indices=True)
-    lower = zeros.at[starts].set(prev_csum, mode='drop', unique_indices=True)
-    return (upper - lower)[:num_segments]
+    csum_pad = jnp.concatenate([jnp.zeros((1, C), jnp.float32), csum], axis=0)
+    # bounds[v] = first sorted position whose segment id >= v
+    bounds = jnp.searchsorted(
+        seg, jnp.arange(num_segments + 1, dtype=seg.dtype))
+    return csum_pad[bounds[1:]] - csum_pad[bounds[:-1]]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
@@ -130,15 +129,19 @@ def _bev_pool_bwd(num_voxels, res, g):
     g_pts = g_pad[ranks_bev]                          # (P, C)
     feat_pts = feat_flat[ranks_feat].astype(jnp.float32)
     depth_pts = depth_flat[ranks_depth].astype(jnp.float32)
-    # depth grad: every depth element appears at most once -> unique scatter
-    d_depth = jnp.zeros(depth_flat.shape, jnp.float32).at[ranks_depth].set(
-        jnp.sum(g_pts * feat_pts, axis=-1), mode='drop', unique_indices=True)
-    # feat grad: segmented sum keyed on pixel rank (re-sorted by feat rank,
-    # mirroring the reference backward's re-sort)
+    # depth grad: ranks_depth is a permutation of the depth elements, so the
+    # scatter back to natural order is an inverse-permutation GATHER
+    d_depth_sorted = jnp.sum(g_pts * feat_pts, axis=-1)
+    d_depth = d_depth_sorted[jnp.argsort(ranks_depth)]
+    # feat grad: re-sorted by pixel rank every pixel owns exactly D entries
+    # (all depth bins are kept, invalid points only dump their bev rank), so
+    # the segmented sum is a plain reshape-sum — no search, no scatter.
+    # (This replaces the reference backward's re-sort + interval RLE,
+    # bev_pool.py:44-57.)
     contrib = depth_pts[:, None] * g_pts              # (P, C)
-    o = order_by_feat
-    d_feat = _sorted_segment_sum(contrib[o], ranks_feat[o],
-                                 feat_flat.shape[0])
+    Pf = feat_flat.shape[0]
+    D = ranks_depth.shape[0] // Pf
+    d_feat = contrib[order_by_feat].reshape(Pf, D, -1).sum(axis=1)
     return (d_depth.astype(depth_flat.dtype), d_feat.astype(feat_flat.dtype),
             None, None, None, None)
 
@@ -166,7 +169,7 @@ def bev_pool(depth: jnp.ndarray, feat: jnp.ndarray, idx: PoolingIndex,
         depth.reshape(-1).astype(jnp.float32),
         feat.reshape(-1, C).astype(jnp.float32),
         idx.ranks_depth, idx.ranks_feat, idx.ranks_bev, idx.order_by_feat,
-        idx.num_voxels)
+        B * gz * gy * gx)
     return out.reshape(B, gz, gy, gx, C)
 
 

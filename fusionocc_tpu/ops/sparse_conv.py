@@ -112,13 +112,17 @@ def _downsample_coords_one(in_coords, in_mask, shape_in, shape_out,
     keys = jnp.sort(keys)
     prv = jnp.concatenate([jnp.full((1,), -1, keys.dtype), keys[:-1]])
     is_new = (keys != prv) & (keys < sentinel_out)
-    # compact the unique keys into the first `capacity` slots
+    # compact the first `capacity` unique keys — scatter-free: slot ids are
+    # non-decreasing, so unique #i sits at searchsorted(slot, i)
     slot = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    slot = jnp.where(is_new & (slot < capacity), slot, capacity)
-    out_keys = jnp.full((capacity + 1,), sentinel_out, jnp.int32).at[slot].min(
-        keys, mode='drop')[:capacity]
-    out_mask = out_keys < sentinel_out
-    out_coords = jnp.where(out_mask[:, None], key_to_coords(out_keys, shape_out), 0)
+    n8 = keys.shape[0]
+    pos = jnp.searchsorted(slot, jnp.arange(capacity, dtype=jnp.int32))
+    pos_c = jnp.minimum(pos, n8 - 1)
+    out_keys = keys[pos_c]
+    out_mask = (pos < n8) & is_new[pos_c] & (out_keys < sentinel_out)
+    out_keys = jnp.where(out_mask, out_keys, sentinel_out)
+    out_coords = jnp.where(out_mask[:, None],
+                           key_to_coords(out_keys, shape_out), 0)
     return out_coords, out_keys, out_mask
 
 
@@ -178,20 +182,25 @@ def sparse_conv1x1_apply(feats: jnp.ndarray, mask: jnp.ndarray,
     return jnp.where(mask[..., None], out, 0)
 
 
-def sparse_to_dense(feats: jnp.ndarray, coords: jnp.ndarray,
+def sparse_to_dense(feats: jnp.ndarray, keys: jnp.ndarray,
                     mask: jnp.ndarray,
                     shape: Tuple[int, int, int]) -> jnp.ndarray:
-    """Scatter (B, V, C) voxels into a dense (B, X, Y, Z, C) grid.
+    """Densify (B, V, C) sorted voxels into (B, X, Y, Z, C) — scatter-free.
 
-    Mirrors SparseConvTensor.dense() (channels-last here; callers transpose).
+    Mirrors SparseConvTensor.dense() (channels-last; callers transpose).
+    Because the voxel keys are sorted, each dense cell can LOOK UP its row by
+    binary search instead of the rows scattering themselves — XLA scatters
+    are slow on TPU, gathers are not.
     """
     B, V, C = feats.shape
     sx, sy, sz = shape
-    flat_idx = coords_to_key(coords, shape, mask)  # sentinel = sx*sy*sz
+    n = sx * sy * sz
 
-    def one(f, idx):
-        out = jnp.zeros((sx * sy * sz + 1, C), f.dtype)
-        out = out.at[idx].set(f, mode='drop', unique_indices=True)
-        return out[:-1].reshape(sx, sy, sz, C)
+    def one(f, k):
+        cell = jnp.arange(n, dtype=k.dtype)
+        pos = jnp.minimum(jnp.searchsorted(k, cell), V - 1)
+        hit = k[pos] == cell
+        dense = jnp.where(hit[:, None], f[pos], 0)
+        return dense.reshape(sx, sy, sz, C)
 
-    return jax.vmap(one)(feats, flat_idx)
+    return jax.vmap(one)(feats, keys)

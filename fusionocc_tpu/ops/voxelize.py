@@ -68,19 +68,22 @@ def _voxelize_one(points: jnp.ndarray, valid: jnp.ndarray,
     is_first = (key_s != prv) & ok_s
     # position of each point's voxel among the unique voxels (0-based)
     vid = jnp.cumsum(is_first.astype(jnp.int32)) - 1
-    # overflow beyond capacity and invalid points both go to the dump row
+    # overflow beyond capacity and invalid points both go to the dump slot
     vid = jnp.where(ok_s & (vid < capacity), vid, capacity)
 
-    num_seg = capacity + 1
-    sums = jax.ops.segment_sum(pts_s, vid, num_segments=num_seg,
-                               indices_are_sorted=True)
-    cnts = jax.ops.segment_sum(ok_s.astype(jnp.float32), vid,
-                               num_segments=num_seg, indices_are_sorted=True)
-    feats = (sums / jnp.maximum(cnts[:, None], 1.0))[:capacity]
-    vmask = cnts[:capacity] > 0
+    # Scatter-free segmented mean: vid is sorted, so each voxel's point run
+    # is found by binary search and reduced via cumsum differences.
+    P = points.shape[0]
+    bounds = jnp.searchsorted(vid, jnp.arange(capacity + 1, dtype=jnp.int32))
+    csum = jnp.concatenate(
+        [jnp.zeros((1, pts_s.shape[1]), jnp.float32),
+         jnp.cumsum(pts_s, axis=0)], axis=0)
+    sums = csum[bounds[1:]] - csum[bounds[:-1]]
+    cnts = (bounds[1:] - bounds[:-1]).astype(jnp.float32)
+    feats = sums / jnp.maximum(cnts[:, None], 1.0)
+    vmask = cnts > 0
 
-    vkeys = jnp.full((capacity + 1,), sentinel, jnp.int32).at[vid].min(
-        key_s, mode='drop')[:capacity]
+    vkeys = key_s[jnp.minimum(bounds[:-1], P - 1)]
     vkeys = jnp.where(vmask, vkeys, sentinel)
     vcoords = jnp.where(vmask[:, None], key_to_coords(vkeys, shape), 0)
     feats = jnp.where(vmask[:, None], feats, 0.0)

@@ -17,14 +17,20 @@ from fusionocc_tpu.ops.bev_pool import (PoolingIndex, _bev_pool_flat, bev_pool,
 
 
 def test_toy_matches_reference_kernel_selftest():
-    # 8 frustum points; 4 used: pattern from the reference self-test.
+    # The reference self-test uses 4 active points out of 8 frustum points.
+    # Our op carries the full static point set (prepare_pooling_index keeps
+    # every point; inactive ones get the sentinel bev rank and every pixel
+    # appears exactly D times), so the toy problem is embedded in the full
+    # 8-point layout: P=8, Pf=4 pixels, D=2.
     depth = jnp.asarray([0.3, 0.4, 0.2, 0.1, 0.7, 0.6, 0.8, 0.9], jnp.float32)
     feat = jnp.ones((4, 2), jnp.float32)  # 4 pixel rows x 2 channels
-    ranks_depth = jnp.asarray([0, 4, 1, 6], jnp.int32)
-    ranks_feat = jnp.asarray([0, 0, 1, 2], jnp.int32)
-    ranks_bev = jnp.asarray([0, 0, 1, 1], jnp.int32)
-    order_by_feat = jnp.argsort(ranks_feat).astype(jnp.int32)
     num_voxels = 8
+    # active: depths (0,4)->voxel0/pix0, (1)->voxel1/pix1, (6)->voxel1/pix2
+    # padding: depths 2,3,5,7 on pixels 1,2,3,3 with the sentinel rank
+    ranks_depth = jnp.asarray([0, 4, 1, 6, 2, 3, 5, 7], jnp.int32)
+    ranks_feat = jnp.asarray([0, 0, 1, 2, 1, 2, 3, 3], jnp.int32)
+    ranks_bev = jnp.asarray([0, 0, 1, 1] + [num_voxels] * 4, jnp.int32)
+    order_by_feat = jnp.argsort(ranks_feat).astype(jnp.int32)
 
     def loss_fn(d, f):
         out = _bev_pool_flat(d, f, ranks_depth, ranks_feat, ranks_bev,

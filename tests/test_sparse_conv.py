@@ -58,11 +58,11 @@ def test_subm_conv_matches_dense():
     nbr = build_subm_index(sp, shape)
     out = sparse_conv_apply(sp.feats, sp.mask, nbr, weight, bias)
 
-    dense = sparse_to_dense(sp.feats, sp.coords, sp.mask, shape)
+    dense = sparse_to_dense(sp.feats, sp.keys, sp.mask, shape)
     ref = _dense_conv3d(dense, weight, 1) + bias
-    got_dense = sparse_to_dense(out, sp.coords, sp.mask, shape)
+    got_dense = sparse_to_dense(out, sp.keys, sp.mask, shape)
     active = np.asarray(
-        sparse_to_dense(jnp.ones_like(sp.feats[..., :1]), sp.coords, sp.mask,
+        sparse_to_dense(jnp.ones_like(sp.feats[..., :1]), sp.keys, sp.mask,
                         shape))[..., 0] > 0
     np.testing.assert_allclose(np.asarray(got_dense)[active],
                                np.asarray(ref)[active],
@@ -79,7 +79,7 @@ def test_strided_conv_matches_dense():
     out = sparse_conv_apply(sp.feats, om, nbr, weight)
 
     assert shape_out == out_shape_strided(shape)
-    dense = sparse_to_dense(sp.feats, sp.coords, sp.mask, shape)
+    dense = sparse_to_dense(sp.feats, sp.keys, sp.mask, shape)
     ref = _dense_conv3d(dense, weight, 2)
 
     # active-output rule: any output whose 3^3 stride-2 receptive field
@@ -101,7 +101,7 @@ def test_strided_conv_matches_dense():
         got = set(map(tuple, np.asarray(oc[b])[np.asarray(om[b])].tolist()))
         assert got == expect_active[b]
 
-    got_dense = np.asarray(sparse_to_dense(out, oc, om, shape_out))
+    got_dense = np.asarray(sparse_to_dense(out, okeys, om, shape_out))
     ref = np.asarray(ref)
     for b in range(B):
         for o in expect_active[b]:
