@@ -46,13 +46,20 @@ def main():
     out = predict(variables, batch)
     jax.block_until_ready(out)
 
-    n_warm, n_iter = 5, 20
-    for _ in range(n_warm):
-        jax.block_until_ready(predict(variables, batch))
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        jax.block_until_ready(predict(variables, batch))
-    dt = (time.perf_counter() - t0) / n_iter
+    # The tunnel-attached TPU shows heavy run-to-run variance (shared
+    # resource); measure many iterations on varied inputs and report the
+    # median, mirroring tools/test.py's warmup+percentile methodology.
+    batches = [synthetic_batch(cfg, batch_size=1, seed=s) for s in range(4)]
+    n_warm, n_iter = 3, 30
+    for i in range(n_warm):
+        jax.block_until_ready(predict(variables, batches[i % 4]))
+    lat = []
+    for i in range(n_iter):
+        t0 = time.perf_counter()
+        jax.block_until_ready(predict(variables, batches[i % 4]))
+        lat.append(time.perf_counter() - t0)
+    import numpy as np
+    dt = float(np.median(lat))
 
     fps = batch.imgs.shape[0] / dt
     print(json.dumps({

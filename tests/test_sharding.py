@@ -1,0 +1,54 @@
+"""Data-parallel sharding: train step over an 8-device mesh must equal the
+single-device step (same math, different partitioning), and BN stats must be
+global (SyncBN semantics)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fusionocc_tpu.config import OptimConfig, TrainConfig, tiny_model_config
+from fusionocc_tpu.data.synthetic import synthetic_batch
+from fusionocc_tpu.train.loop import (create_train_state, make_optimizer,
+                                      train_step)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason='needs >=4 devices')
+def test_sharded_step_matches_single_device():
+    n_dev = 4
+    cfg = TrainConfig(model=tiny_model_config(),
+                      optim=OptimConfig(warmup_iters=10, iters_per_epoch=10))
+    batch = synthetic_batch(cfg.model, batch_size=n_dev, seed=0,
+                            num_points=512)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    tx = make_optimizer(cfg.optim)
+    rng = jax.random.PRNGKey(42)
+    step = functools.partial(train_step, model, tx, cfg)
+
+    # single device
+    s1, logs1 = jax.jit(step)(state, batch, rng)
+
+    # sharded over 4 devices
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ('data',))
+    repl = NamedSharding(mesh, P())
+    dsh = NamedSharding(mesh, P('data'))
+    state_r = jax.device_put(state, repl)
+    batch_s = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, dsh), batch)
+    sN, logsN = jax.jit(step, in_shardings=(repl, dsh, repl),
+                        out_shardings=(repl, repl))(state_r, batch_s, rng)
+
+    assert np.isclose(float(logs1['loss']), float(logsN['loss']),
+                      rtol=1e-3), (float(logs1['loss']), float(logsN['loss']))
+    # parameters after one step agree (gradient allreduce == global grad)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    lN = jax.tree_util.tree_leaves(sN.params)
+    worst = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(l1, lN))
+    assert worst < 5e-3, worst
+    # BN stats global: batch_stats must match too (SyncBN equivalence)
+    b1 = jax.tree_util.tree_leaves(s1.batch_stats)
+    bN = jax.tree_util.tree_leaves(sN.batch_stats)
+    worst_bn = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(b1, bN))
+    assert worst_bn < 1e-3, worst_bn
