@@ -24,6 +24,7 @@ A100_REFERENCE_FPS = 2.0
 
 def main():
     import jax
+    import numpy as np
 
     from fusionocc_tpu.config import full_model_config
     from fusionocc_tpu.data.synthetic import synthetic_batch
@@ -38,27 +39,34 @@ def main():
                             'dropout': jax.random.PRNGKey(1)},
                            batch, train=False))()
 
-    @jax.jit
-    def predict(variables, batch):
-        return model.apply(variables, batch, method=FusionOcc.predict)
+    # Streaming deployment mode: temporal fusion reuses the cached previous
+    # frame's BEV feature (one camera pass per frame) — the BASELINE north
+    # star's "temporal multi-frame fusion without recompilation".
+    state0 = model.apply(variables, 1, method=FusionOcc.init_streaming_state)
 
-    # warmup / compile
-    out = predict(variables, batch)
-    jax.block_until_ready(out)
+    @jax.jit
+    def step(variables, batch, state):
+        pred, _, new_state = model.apply(variables, batch, state,
+                                         method=FusionOcc.predict_streaming)
+        return pred, new_state
 
     # The tunnel-attached TPU shows heavy run-to-run variance (shared
     # resource); measure many iterations on varied inputs and report the
     # median, mirroring tools/test.py's warmup+percentile methodology.
     batches = [synthetic_batch(cfg, batch_size=1, seed=s) for s in range(4)]
+    state = state0
+    pred, state = step(variables, batch, state)
+    jax.block_until_ready(pred)
     n_warm, n_iter = 3, 30
     for i in range(n_warm):
-        jax.block_until_ready(predict(variables, batches[i % 4]))
+        pred, state = step(variables, batches[i % 4], state)
+        jax.block_until_ready(pred)
     lat = []
     for i in range(n_iter):
         t0 = time.perf_counter()
-        jax.block_until_ready(predict(variables, batches[i % 4]))
+        pred, state = step(variables, batches[i % 4], state)
+        jax.block_until_ready(pred)
         lat.append(time.perf_counter() - t0)
-    import numpy as np
     dt = float(np.median(lat))
 
     fps = batch.imgs.shape[0] / dt

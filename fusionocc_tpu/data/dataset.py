@@ -205,7 +205,8 @@ class NuScenesOccDataset:
             post_rots=post_rots, post_trans=post_trans, bda=bda,
             points=points, points_mask=points_mask,
             sparse_depth=sparse_depth, segs=segs,
-            voxel_semantics=voxel_semantics, mask_camera=mask_camera)
+            voxel_semantics=voxel_semantics, mask_camera=mask_camera,
+            ego2global=lidarego2global.astype(np.float32))
 
 
 def data_loader(dataset: NuScenesOccDataset, batch_size: int,

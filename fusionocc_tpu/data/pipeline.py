@@ -258,7 +258,7 @@ def pad_points(points: np.ndarray, capacity: int
 def stack_batch(samples: List[Dict]) -> Batch:
     """Stack per-sample dicts (keys = Batch fields) into a Batch."""
     def get(k):
-        vals = [s[k] for s in samples]
+        vals = [s.get(k) for s in samples]
         if vals[0] is None:
             return None
         return np.stack(vals, axis=0)

@@ -74,8 +74,11 @@ def synthetic_batch(cfg: ModelConfig, batch_size: int = 1, seed: int = 0,
                                   (B, gx, gy, gz)).astype(np.int32)
     mask_camera = rng.rand(B, gx, gy, gz) > 0.3
 
+    ego2global = np.tile(np.eye(4, dtype=np.float32)[None], (B, 1, 1))
+    ego2global[:, 0, 3] = seed * 0.5  # distinct poses across seeds
+
     return Batch(
         imgs=imgs, sensor2keyego=s2k, intrins=intrins, post_rots=post_rots,
         post_trans=post_trans, bda=bda, points=pts, points_mask=points_mask,
         sparse_depth=sd, segs=segs, voxel_semantics=voxel_semantics,
-        mask_camera=mask_camera)
+        mask_camera=mask_camera, ego2global=ego2global)

@@ -54,6 +54,15 @@ class Batch(NamedTuple):
     segs: Optional[jnp.ndarray] = None             # (B, N, H, W) int32
     voxel_semantics: Optional[jnp.ndarray] = None  # (B, X, Y, Z) int32
     mask_camera: Optional[jnp.ndarray] = None      # (B, X, Y, Z) bool
+    ego2global: Optional[jnp.ndarray] = None       # (B, 4, 4) key ego pose
+
+
+class StreamingState(NamedTuple):
+    """Temporal BEV cache for streaming inference: the previous key frame's
+    camera voxel feature (in its own ego frame) + its ego pose."""
+    voxel_feat: jnp.ndarray      # (B, Z, Y, X, C_img)
+    ego2global: jnp.ndarray      # (B, 4, 4)
+    valid: jnp.ndarray           # (B,) bool — False at scene starts
 
 
 class FusionOcc(nn.Module):
@@ -151,3 +160,92 @@ class FusionOcc(nn.Module):
         """Inference: (B, X, Y, Z) uint8 class ids (fusion_occ.py:877-920)."""
         out = self(batch, train=False)
         return jnp.argmax(out['occ_logits'], axis=-1).astype(jnp.uint8)
+
+    # -- streaming inference with a temporal BEV cache ----------------------
+    def _shift_bev(self, feat: jnp.ndarray, dst2src: jnp.ndarray
+                   ) -> jnp.ndarray:
+        """Warp a (B, Z, Y, X, C) ego-frame voxel feature from a source ego
+        frame onto the destination ego grid (planar x-y warp; z is carried).
+
+        The static-shape equivalent of the reference's shift_feature /
+        gen_grid BEV alignment (fusion_occ.py:329-428): dst grid-cell centers
+        are mapped through dst2src and bilinearly sampled from the source.
+        """
+        from ..ops.grid_sample import grid_sample_2d
+        grid = self.cfg.grid
+        B, Z, Y, X, C = feat.shape
+        xs = grid.lower_bound[0] + (jnp.arange(X) + 0.5) * grid.interval[0]
+        ys = grid.lower_bound[1] + (jnp.arange(Y) + 0.5) * grid.interval[1]
+        gy, gx = jnp.meshgrid(ys, xs, indexing='ij')      # (Y, X)
+        ones = jnp.ones_like(gx)
+        pts = jnp.stack([gx, gy, jnp.zeros_like(gx), ones], -1)  # (Y, X, 4)
+        src = jnp.einsum('bij,yxj->byxi', dst2src.astype(jnp.float32), pts)
+        # normalized sample coords in the source grid (align_corners=True
+        # over cell centers)
+        nx = (src[..., 0] - grid.lower_bound[0]) / grid.interval[0] - 0.5
+        ny = (src[..., 1] - grid.lower_bound[1]) / grid.interval[1] - 0.5
+        nx = nx / (X - 1) * 2.0 - 1.0
+        ny = ny / (Y - 1) * 2.0 - 1.0
+        sample_grid = jnp.stack([nx, ny], -1)             # (B, Y, X, 2)
+        flat = jnp.transpose(feat, (0, 4, 1, 2, 3)).reshape(B, C * Z, Y, X)
+        warped = grid_sample_2d(flat.astype(jnp.float32), sample_grid)
+        warped = warped.reshape(B, C, Z, Y, X)
+        return jnp.transpose(warped, (0, 2, 3, 4, 1)).astype(feat.dtype)
+
+    def predict_streaming(self, batch: Batch, state: StreamingState):
+        """One-frame inference reusing the cached previous-frame BEV feature.
+
+        Runs the camera branch ONCE (for the new key frame), warps the cached
+        adjacent feature into the new ego frame, fuses, and predicts — the
+        static-shape realisation of 'temporal fusion without recompilation'.
+        Where the cache is invalid (scene start) the current frame's feature
+        substitutes, mirroring the dataset's current-frame duplication
+        (fusionocc_dataset.py:253-266).
+
+        batch: single-frame inputs (F axis = 1) with ego2global set.
+        Returns (pred, outputs, new_state).
+        """
+        cfg = self.cfg
+        assert batch.ego2global is not None
+        assert cfg.num_adj == 1, 'streaming cache assumes one adjacent frame'
+        lidar_feat = self.lidar_encoder(batch.points, batch.points_mask,
+                                        train=False)
+        voxel, depth, seg = self._frame_voxel_feat(
+            batch.imgs[:, 0], batch.sensor2keyego[:, 0],
+            batch.sensor2keyego[:, 0], batch.intrins[:, 0],
+            batch.post_rots[:, 0], batch.post_trans[:, 0],
+            batch.bda, batch.sparse_depth, train=False)
+
+        dst2src = jnp.einsum(
+            'bij,bjk->bik',
+            jnp.linalg.inv(state.ego2global.astype(jnp.float32)),
+            batch.ego2global.astype(jnp.float32))
+        warped_prev = self._shift_bev(state.voxel_feat, dst2src)
+        prev = jnp.where(state.valid[:, None, None, None, None],
+                         warped_prev, voxel)
+
+        # channel order matches training: [adjacent, key, lidar]
+        fusion = jnp.concatenate(
+            [prev, voxel, lidar_feat.astype(cfg.dtype)], axis=-1)
+        feats = self.bev_backbone(fusion, train=False)
+        x = self.bev_neck(feats, train=False)
+        x = nn.relu(self.final_conv(x))
+        x = jnp.transpose(x, (0, 3, 2, 1, 4))
+        h = nn.softplus(self.predicter_fc1(x))
+        logits = self.predicter_fc2(h).astype(jnp.float32)
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+        new_state = StreamingState(
+            voxel_feat=voxel, ego2global=batch.ego2global,
+            valid=jnp.ones_like(state.valid))
+        return pred, {'occ_logits': logits, 'depth': depth,
+                      'seg_logits': seg}, new_state
+
+    def init_streaming_state(self, batch_size: int = 1) -> StreamingState:
+        cfg = self.cfg
+        gx, gy, gz = cfg.grid.grid_size
+        return StreamingState(
+            voxel_feat=jnp.zeros((batch_size, gz, gy, gx, cfg.img_channels),
+                                 cfg.dtype),
+            ego2global=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                        (batch_size, 4, 4)),
+            valid=jnp.zeros((batch_size,), bool))
