@@ -134,6 +134,8 @@ class ModelConfig:
     bev_num_layer: Tuple[int, ...] = (1, 2, 3)
     bev_strides: Tuple[int, ...] = (1, 2, 2)
     use_mask: bool = True
+    use_lidar: bool = True   # False = image-only mode (zero lidar features,
+                             # the reference's fallback, fusion_occ.py:1475-1482)
     use_predicter: bool = True
     fuse_loss_weight: float = 0.1
     depth_loss_weight: float = 1.0

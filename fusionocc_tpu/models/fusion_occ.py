@@ -88,6 +88,18 @@ class FusionOcc(nn.Module):
         self.predicter_fc2 = nn.Dense(cfg.num_classes, dtype=jnp.float32,
                                       param_dtype=jnp.float32)
 
+    def _lidar_feat(self, batch: Batch, train: bool) -> jnp.ndarray:
+        """LiDAR voxel feature, or zeros in image-only mode (the reference's
+        image-only fallback path, fusion_occ.py:1475-1482)."""
+        cfg = self.cfg
+        if not cfg.use_lidar:
+            gx, gy, gz = cfg.grid.grid_size
+            B = batch.imgs.shape[0]
+            return jnp.zeros((B, gz, gy, gx, cfg.lidar_out_channels),
+                             cfg.dtype)
+        return self.lidar_encoder(batch.points, batch.points_mask,
+                                  train=train)
+
     def image_encoder(self, imgs, train: bool):
         """(B, N, H, W, 3) -> (B, N, h, w, C_neck). fusion_occ.py:126-141."""
         cfg = self.cfg
@@ -125,8 +137,7 @@ class FusionOcc(nn.Module):
         cfg = self.cfg
         F = cfg.num_frame
 
-        lidar_feat = self.lidar_encoder(batch.points, batch.points_mask,
-                                        train=train)
+        lidar_feat = self._lidar_feat(batch, train)
 
         voxel_feats = []          # order: [frame F-1 (oldest) ... frame 0]
         depth_key = seg_key = None
@@ -208,8 +219,7 @@ class FusionOcc(nn.Module):
         cfg = self.cfg
         assert batch.ego2global is not None
         assert cfg.num_adj == 1, 'streaming cache assumes one adjacent frame'
-        lidar_feat = self.lidar_encoder(batch.points, batch.points_mask,
-                                        train=False)
+        lidar_feat = self._lidar_feat(batch, train=False)
         voxel, depth, seg = self._frame_voxel_feat(
             batch.imgs[:, 0], batch.sensor2keyego[:, 0],
             batch.sensor2keyego[:, 0], batch.intrins[:, 0],
