@@ -187,15 +187,18 @@ class NuScenesOccDataset:
         lidarego2global = pose_matrix(info['ego2global_rotation'],
                                       info['ego2global_translation'])
         sparse_depth = np.zeros((len(CAM_ORDER), H, W), np.float32)
+        from .. import native
         for n, cam_name in enumerate(CAM_ORDER):
             ci = info['cams'][cam_name]
             cam2camego, camego2global = self._cam_poses(ci)
             lidar2cam = (np.linalg.inv(camego2global @ cam2camego)
                          @ lidarego2global @ l2e)
-            uvd = pl.project_points_to_cam(
-                curr_points, lidar2cam.astype(np.float32), intrins[0, n],
-                post_rots[0, n], post_trans[0, n])
-            sparse_depth[n] = pl.points_to_depthmap_np(
+            cam2img = np.eye(4)
+            cam2img[:3, :3] = intrins[0, n]
+            lidar2img = cam2img @ lidar2cam
+            uvd = native.project_points(curr_points, lidar2img,
+                                        post_rots[0, n], post_trans[0, n])
+            sparse_depth[n] = native.zbuffer_depth(
                 uvd, H, W, (cfg.grid.depth[0], cfg.grid.depth[1]))
 
         points, points_mask = pl.pad_points(ego_pts,

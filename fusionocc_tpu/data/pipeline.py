@@ -229,10 +229,11 @@ def project_points_to_cam(points_ego_or_lidar: np.ndarray,
                           lidar2cam: np.ndarray, intrin: np.ndarray,
                           post_rot: np.ndarray, post_tran: np.ndarray
                           ) -> np.ndarray:
-    """(P, 3) of (u, v, depth) after the augmentation homography
-    (depth_transforms.py:180-196)."""
+    """(P, 3) of (u, v, depth) after intrinsics + the augmentation homography
+    (lidar2img = cam2img @ lidar2cam, depth_transforms.py:164-196)."""
     cam = points_ego_or_lidar[:, :3] @ lidar2cam[:3, :3].T + lidar2cam[:3, 3]
-    uv = cam[:, :2] / np.maximum(cam[:, 2:3], 1e-6)
+    img = cam @ np.asarray(intrin, cam.dtype).T
+    uv = img[:, :2] / np.maximum(img[:, 2:3], 1e-6)
     uvd = np.concatenate([uv, cam[:, 2:3]], axis=1)
     return uvd @ post_rot.T + post_tran[None, :]
 

@@ -52,6 +52,42 @@ def miou_from_hist(hist: np.ndarray) -> Dict[str, float]:
     return out
 
 
+def fscore(pred: np.ndarray, gt: np.ndarray,
+           mask: 'np.ndarray | None' = None,
+           voxel_size=(0.4, 0.4, 0.4),
+           pc_range=(-40, -40, -1, 40, 40, 5.4),
+           free_classes=(17, 255),
+           threshold_acc: float = 0.6,
+           threshold_complete: float = 0.6) -> dict:
+    """Geometric F-score of occupied-voxel surfaces (Metric_FScore,
+    occ_metrics.py:156-245): nearest-neighbor distances between the occupied
+    voxel centers of prediction and GT, thresholded into accuracy (pred->gt)
+    and completeness (gt->pred), combined harmonically.
+    """
+    from sklearn.neighbors import KDTree
+    pred = np.array(pred)
+    gt = np.array(gt)
+    if mask is not None:
+        pred = np.where(mask, pred, 255)
+        gt = np.where(mask, gt, 255)
+
+    def to_points(vox):
+        occ = ~np.isin(vox, list(free_classes))
+        idx = np.stack(np.nonzero(occ), axis=1).astype(np.float64)
+        return (idx + 0.5) * np.asarray(voxel_size) + np.asarray(pc_range[:3])
+
+    p, g = to_points(pred), to_points(gt)
+    if len(p) == 0 or len(g) == 0:
+        return {'accuracy': 0.0, 'completeness': 0.0, 'fscore': 0.0}
+    complete_d, _ = KDTree(p, leaf_size=10).query(g)
+    acc_d, _ = KDTree(g, leaf_size=10).query(p)
+    completeness = float((complete_d.ravel() < threshold_complete).mean())
+    accuracy = float((acc_d.ravel() < threshold_acc).mean())
+    eps = 1e-8
+    f = 2.0 / (1 / (accuracy + eps) + 1 / (completeness + eps))
+    return {'accuracy': accuracy, 'completeness': completeness, 'fscore': f}
+
+
 class OccupancyMetric:
     """Streaming evaluator: accumulate per-batch confusion matrices."""
 

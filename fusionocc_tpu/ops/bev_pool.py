@@ -109,8 +109,15 @@ def _bev_pool_flat(depth_flat: jnp.ndarray, feat_flat: jnp.ndarray,
                    ranks_bev: jnp.ndarray, order_by_feat: jnp.ndarray,
                    num_voxels: int) -> jnp.ndarray:
     """(num_voxels, C) pooled features from flat depth (Pd,) and feat (Pf, C)."""
-    prod = depth_flat[ranks_depth][:, None] * feat_flat[ranks_feat]
-    return _sorted_segment_sum(prod, ranks_bev, num_voxels)
+    import os
+    d = depth_flat[ranks_depth]
+    f = feat_flat[ranks_feat]
+    P = d.shape[0]
+    from .pallas.segsum import BLK, boundary_segment_sum
+    if P % BLK == 0 and not os.environ.get('FUSIONOCC_NO_PALLAS'):
+        # fused product + single-pass chunked cumsum (Pallas kernel)
+        return boundary_segment_sum(d, f, ranks_bev, num_voxels)
+    return _sorted_segment_sum(d[:, None] * f, ranks_bev, num_voxels)
 
 
 def _bev_pool_fwd(depth_flat, feat_flat, ranks_depth, ranks_feat, ranks_bev,
