@@ -95,6 +95,8 @@ def main():
     total = args.steps or cfg.optim.max_epochs * iters_per_epoch
     ckpt_every = args.ckpt_interval_steps or iters_per_epoch
     os.makedirs(args.work_dir, exist_ok=True)
+    from fusionocc_tpu.utils.logging import MetricLogger
+    mlog = MetricLogger(args.work_dir)
     t0 = time.perf_counter()
     for i in range(total):
         batch = shard(sample if i == 0 else next(gen))
@@ -102,8 +104,11 @@ def main():
         if (i + 1) % args.log_interval == 0 or i == 0:
             jax.block_until_ready(logs)
             dt = (time.perf_counter() - t0) / (i + 1)
-            line = ' '.join(f'{k}={float(v):.4f}' for k, v in logs.items())
-            print(f'step {i + 1}/{total} ({dt:.2f}s/it) {line}', flush=True)
+            scalars = {k: float(v) for k, v in logs.items()}
+            scalars['sec_per_iter'] = dt
+            mlog.log(i + 1, scalars)
+            line = ' '.join(f'{k}={v:.4f}' for k, v in scalars.items())
+            print(f'step {i + 1}/{total} {line}', flush=True)
         if (i + 1) % ckpt_every == 0:
             path = ckpt.save_checkpoint(args.work_dir, jax.device_get(state))
             print(f'saved {path}', flush=True)
