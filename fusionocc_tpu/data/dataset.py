@@ -213,15 +213,32 @@ class NuScenesOccDataset:
 
 
 def data_loader(dataset: NuScenesOccDataset, batch_size: int,
-                shuffle: bool, seed: int = 0, drop_last: bool = True):
-    """Minimal host loader: yields stacked Batches."""
+                shuffle: bool, seed: int = 0, drop_last: bool = True,
+                max_resample: int = 8):
+    """Minimal host loader: yields stacked Batches.
+
+    Like the reference's BaseDataset error handling
+    (fusionocc_dataset.py:93-106), a sample whose pipeline raises is replaced
+    by resampling another index instead of crashing the epoch.
+    """
     order = np.arange(len(dataset))
     rng = np.random.RandomState(seed)
     if shuffle:
         rng.shuffle(order)
+
+    def fetch(j):
+        for attempt in range(max_resample):
+            try:
+                return dataset[int(j)]
+            except Exception as e:  # noqa: BLE001 — corrupt sample: resample
+                print(f'[data] sample {j} failed ({type(e).__name__}: {e}); '
+                      f'resampling', flush=True)
+                j = rng.randint(0, len(dataset))
+        raise RuntimeError(f'{max_resample} consecutive sample failures')
+
     for i in range(0, len(order) - (batch_size - 1 if drop_last else 0),
                    batch_size):
         idxs = order[i:i + batch_size]
         if drop_last and len(idxs) < batch_size:
             break
-        yield pl.stack_batch([dataset[int(j)] for j in idxs])
+        yield pl.stack_batch([fetch(j) for j in idxs])
