@@ -42,6 +42,20 @@ def ident(w):
     return np.asarray(w)
 
 
+def resize_bias_table(table: np.ndarray, target_len: int) -> np.ndarray:
+    """Bicubic-resize a ((2w'-1)^2, nH) relative-position bias table to a new
+    window size (official-checkpoint adaptation, swin.py:900-950)."""
+    import jax
+    L1, nH = table.shape
+    s1 = int(round(L1 ** 0.5))
+    s2 = int(round(target_len ** 0.5))
+    if s1 == s2:
+        return table
+    t = table.reshape(s1, s1, nH)
+    out = jax.image.resize(t, (s2, s2, nH), method='cubic')
+    return np.asarray(out).reshape(s2 * s2, nH)
+
+
 Rule = Tuple[str, Callable]     # (torch key, converter)
 
 
@@ -302,6 +316,10 @@ def import_state_dict(state_dict: Dict[str, np.ndarray], params,
                 continue
             val = conv(sd[tkey]).astype(np.float32)
             used.add(tkey)
+            if ('relative_position_bias_table' in path
+                    and val.shape != tuple(leaf.shape)
+                    and val.shape[1] == leaf.shape[1]):
+                val = resize_bias_table(val, leaf.shape[0])
             if val.shape != tuple(leaf.shape):
                 report['shape_mismatch'].append(
                     f'{path}: torch {val.shape} vs flax {tuple(leaf.shape)}')
