@@ -136,6 +136,8 @@ class ModelConfig:
     use_mask: bool = True
     use_lidar: bool = True   # False = image-only mode (zero lidar features,
                              # the reference's fallback, fusion_occ.py:1475-1482)
+    mask_mode: str = 'baseline_with_mask'  # training-mask ablation (data/masks.py)
+    temperature: float = 1.0  # calibration temperature for probability outputs
     use_predicter: bool = True
     fuse_loss_weight: float = 0.1
     depth_loss_weight: float = 1.0

@@ -169,6 +169,11 @@ class NuScenesOccDataset:
         voxel_semantics = occ['semantics'].astype(np.int32)
         mask_camera = occ['mask_camera'].astype(bool)
         mask_lidar = occ.get('mask_lidar', mask_camera).astype(bool)
+        if self.train and cfg.mask_mode != 'baseline_with_mask':
+            from .masks import build_training_mask
+            mask_camera = build_training_mask(
+                voxel_semantics, mask_camera.astype(np.uint8),
+                cfg.mask_mode).astype(bool)
 
         # points
         fused, curr_points, l2e = self._load_points(index)

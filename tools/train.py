@@ -25,15 +25,18 @@ def main():
     ap.add_argument('--data-root', default='')
     ap.add_argument('--img-seg-dir', default=None)
     ap.add_argument('--work-dir', default='./work_dirs/fusion_occ')
+    ap.add_argument('--config', default=None,
+                    help='named preset from fusionocc_tpu.configs '
+                         '(e.g. fusion_occ, fusion_occ_unified, tiny)')
     ap.add_argument('--synthetic', action='store_true')
     ap.add_argument('--tiny', action='store_true',
                     help='tiny model config (debug)')
     ap.add_argument('--steps', type=int, default=0,
                     help='stop after N steps (0 = full schedule)')
     ap.add_argument('--batch-size', type=int, default=1)
-    ap.add_argument('--epochs', type=int, default=24)
-    ap.add_argument('--lr', type=float, default=5e-5)
-    ap.add_argument('--accumulate', type=int, default=1)
+    ap.add_argument('--epochs', type=int, default=None)
+    ap.add_argument('--lr', type=float, default=None)
+    ap.add_argument('--accumulate', type=int, default=None)
     ap.add_argument('--resume', default=None)
     ap.add_argument('--log-interval', type=int, default=50)
     ap.add_argument('--ckpt-interval-steps', type=int, default=0,
@@ -46,12 +49,19 @@ def main():
 
     from fusionocc_tpu.config import (OptimConfig, TrainConfig,
                                       full_model_config, tiny_model_config)
+    from fusionocc_tpu.configs import get_config
     from fusionocc_tpu.data.synthetic import synthetic_batch
     from fusionocc_tpu.parallel.mesh import data_mesh
     from fusionocc_tpu.train import checkpoint as ckpt
     from fusionocc_tpu.train.loop import create_train_state, make_jitted_steps
 
-    model_cfg = tiny_model_config() if args.tiny else full_model_config()
+    if args.config:
+        preset = get_config(args.config)
+    elif args.tiny:
+        preset = get_config('tiny')
+    else:
+        preset = get_config('fusion_occ')
+    model_cfg = preset.model
 
     if args.synthetic:
         iters_per_epoch = max(args.steps, 1)
@@ -71,12 +81,14 @@ def main():
                                        seed=epoch)
                 epoch += 1
 
-    cfg = TrainConfig(
-        model=model_cfg,
-        optim=OptimConfig(lr=args.lr, max_epochs=args.epochs,
-                          iters_per_epoch=iters_per_epoch,
-                          accumulate_steps=args.accumulate),
-        batch_size=args.batch_size)
+    optim = dataclasses.replace(
+        preset.optim,
+        iters_per_epoch=iters_per_epoch,
+        **{k: v for k, v in (('lr', args.lr), ('max_epochs', args.epochs),
+                             ('accumulate_steps', args.accumulate))
+           if v is not None})
+    cfg = TrainConfig(model=model_cfg, optim=optim,
+                      batch_size=args.batch_size)
 
     gen = batches()
     sample = next(gen)
