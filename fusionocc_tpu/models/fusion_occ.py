@@ -66,7 +66,18 @@ class StreamingState(NamedTuple):
 
 
 class FusionOcc(nn.Module):
+    """cfg: model hyper-parameters.  mesh: optional jax Mesh whose 'spatial'
+    axis (if present) shards the camera batch and the BEV grid across chips
+    (model parallelism on top of data parallelism — sharding constraints are
+    inserted at the camera-branch input and the fused volume; XLA partitions
+    the convolutions and inserts halo exchanges over ICI)."""
     cfg: ModelConfig
+    mesh: Any = None
+
+    def _constrain(self, x, *spec):
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.mesh import constrain
+        return constrain(x, self.mesh, P(*spec))
 
     def setup(self):
         cfg = self.cfg
@@ -105,6 +116,8 @@ class FusionOcc(nn.Module):
         cfg = self.cfg
         B, N, H, W, _ = imgs.shape
         x = imgs.reshape(B * N, H, W, 3).astype(cfg.dtype)
+        # camera model-parallelism: cameras spread over the 'spatial' axis
+        x = self._constrain(x, ('data', 'spatial'))
         feats = self.img_backbone(x, deterministic=not train)
         if cfg.swin.return_stereo_feat:
             feats = feats[1:]
@@ -155,6 +168,9 @@ class FusionOcc(nn.Module):
 
         fusion = jnp.concatenate(
             voxel_feats + [lidar_feat.astype(cfg.dtype)], axis=-1)
+        # BEV spatial parallelism: grid Y axis over 'spatial' (halo
+        # exchanges inserted by XLA for the 3D convs)
+        fusion = self._constrain(fusion, 'data', None, 'spatial')
         feats = self.bev_backbone(fusion, train=train)
         x = self.bev_neck(feats, train=train)           # (B, Z, Y, X, C)
         x = nn.relu(self.final_conv(x))

@@ -32,6 +32,33 @@ def data_mesh(devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(np.asarray(devices), ('data',))
 
 
+def hybrid_mesh(n_data: int, n_spatial: int,
+                devices: Optional[Sequence] = None) -> Mesh:
+    """2-D (data, spatial) mesh: batch over 'data', cameras + BEV grid over
+    'spatial' (model parallelism for the camera branch and the dense 3D
+    encoder — XLA partitions the convolutions with halo exchanges)."""
+    devices = list(devices) if devices is not None else jax.devices()
+    assert len(devices) >= n_data * n_spatial
+    arr = np.asarray(devices[:n_data * n_spatial]).reshape(n_data, n_spatial)
+    return Mesh(arr, ('data', 'spatial'))
+
+
+def constrain(x, mesh: Optional[Mesh], spec: P):
+    """with_sharding_constraint that no-ops without a mesh or when the spec
+    names axes the mesh doesn't have."""
+    if mesh is None:
+        return x
+    names = set()
+    for entry in spec:
+        if entry is None:
+            continue
+        for n in (entry if isinstance(entry, tuple) else (entry,)):
+            names.add(n)
+    if not names.issubset(set(mesh.axis_names)):
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

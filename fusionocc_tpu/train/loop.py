@@ -78,8 +78,11 @@ def make_optimizer(opt: OptimConfig) -> optax.GradientTransformation:
 
 
 def create_train_state(cfg: TrainConfig, rng: jax.Array,
-                       sample_batch: Batch) -> Tuple[FusionOcc, TrainState]:
-    model = FusionOcc(cfg.model)
+                       sample_batch: Batch,
+                       mesh=None) -> Tuple[FusionOcc, TrainState]:
+    """mesh: optional Mesh; a 'spatial' axis enables model parallelism
+    (see FusionOcc.mesh)."""
+    model = FusionOcc(cfg.model, mesh=mesh)
     p_rng, d_rng = jax.random.split(rng)
     variables = jax.jit(
         lambda b: model.init({'params': p_rng, 'dropout': d_rng},

@@ -16,6 +16,35 @@ from fusionocc_tpu.train.loop import (create_train_state, make_optimizer,
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason='needs >=4 devices')
+def test_spatial_sharding_matches_unsharded_forward():
+    """Model-parallel (data x spatial) forward == unsharded forward."""
+    from fusionocc_tpu.data.synthetic import synthetic_batch as sb
+    from fusionocc_tpu.models.fusion_occ import FusionOcc
+    from fusionocc_tpu.parallel.mesh import hybrid_mesh
+
+    cfg = tiny_model_config()
+    batch = sb(cfg, batch_size=2, seed=0, num_points=512)
+    mesh = hybrid_mesh(2, 2)
+    model_sp = FusionOcc(cfg, mesh=mesh)
+    model = FusionOcc(cfg)
+    variables = jax.jit(lambda b: model.init(
+        {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+        b, train=False))(batch)
+
+    ref = jax.jit(lambda v, b: model.apply(v, b, train=False))(
+        variables, batch)['occ_logits']
+
+    repl = NamedSharding(mesh, P())
+    dsh = NamedSharding(mesh, P('data'))
+    v_r = jax.device_put(variables, repl)
+    b_s = jax.tree_util.tree_map(lambda x: jax.device_put(x, dsh), batch)
+    got = jax.jit(lambda v, b: model_sp.apply(v, b, train=False),
+                  in_shardings=(repl, dsh))(v_r, b_s)['occ_logits']
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason='needs >=4 devices')
 def test_sharded_step_matches_single_device():
     n_dev = 4
     cfg = TrainConfig(model=tiny_model_config(),
