@@ -219,17 +219,24 @@ class NuScenesOccDataset:
 
 def data_loader(dataset: NuScenesOccDataset, batch_size: int,
                 shuffle: bool, seed: int = 0, drop_last: bool = True,
-                max_resample: int = 8):
+                max_resample: int = 8,
+                host_id: int = 0, host_count: int = 1):
     """Minimal host loader: yields stacked Batches.
 
     Like the reference's BaseDataset error handling
     (fusionocc_dataset.py:93-106), a sample whose pipeline raises is replaced
     by resampling another index instead of crashing the epoch.
+
+    host_id/host_count shard the (seed-synchronized) sample order across
+    hosts — the jax-native replacement for DefaultSampler +
+    DistSamplerSeedHook (configs/fusion_occ.py:321,412).
     """
     order = np.arange(len(dataset))
     rng = np.random.RandomState(seed)
     if shuffle:
         rng.shuffle(order)
+    if host_count > 1:
+        order = order[host_id::host_count]
 
     def fetch(j):
         for attempt in range(max_resample):

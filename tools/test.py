@@ -34,6 +34,8 @@ def main():
     ap.add_argument('--no-ema', action='store_true')
     ap.add_argument('--save-predictions', default=None,
                     help='directory for per-sample .npz prediction dumps')
+    ap.add_argument('--rayiou', action='store_true',
+                    help='also compute RayIoU from the batch point clouds')
     args = ap.parse_args()
 
     import jax
@@ -88,6 +90,7 @@ def main():
     metric = OccupancyMetric(num_classes=model_cfg.num_classes,
                              use_image_mask=model_cfg.use_mask)
     lat = []
+    ray_scores = []
     count = 0
     if args.save_predictions:
         os.makedirs(args.save_predictions, exist_ok=True)
@@ -100,6 +103,17 @@ def main():
         if batch.voxel_semantics is not None:
             metric.update(pred, batch.voxel_semantics,
                           mask_camera=batch.mask_camera)
+            if args.rayiou:
+                from fusionocc_tpu.eval.ray_metrics import (ray_iou,
+                                                            rays_from_points)
+                for b in range(batch.imgs.shape[0]):
+                    pts = np.asarray(batch.points[b])[
+                        np.asarray(batch.points_mask[b])]
+                    dirs = rays_from_points(pts, max_rays=4096)
+                    ray_scores.append(ray_iou(
+                        np.asarray(pred[b]),
+                        np.asarray(batch.voxel_semantics[b]), dirs,
+                        model_cfg.grid))
         if args.save_predictions:
             np.savez_compressed(
                 os.path.join(args.save_predictions, f'pred_{count:06d}.npz'),
@@ -111,6 +125,9 @@ def main():
         run(b)
 
     res = metric.compute()
+    if ray_scores:
+        for k in ray_scores[0]:
+            res[k] = round(float(np.mean([r[k] for r in ray_scores])), 2)
     warm = lat[min(args.warmup, len(lat) - 1):]
     res.update({
         'samples': count,
