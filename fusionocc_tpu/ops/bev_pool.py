@@ -73,10 +73,10 @@ def prepare_pooling_index(coor: jnp.ndarray, grid: GridConfig) -> PoolingIndex:
         jnp.arange(B * N * H * W, dtype=jnp.int32).reshape(B, N, 1, H, W),
         (B, N, D, H, W)).reshape(P)
 
-    order = jnp.argsort(rank)
-    rank_s = rank[order]
-    rd_s = ranks_depth[order]
-    rf_s = ranks_feat[order]
+    # single multi-operand sort (carries the payloads through the sort
+    # network instead of argsort + three separate gathers)
+    rank_s, rd_s, rf_s = jax.lax.sort(
+        (rank, ranks_depth, ranks_feat), num_keys=1)
     order_by_feat = jnp.argsort(rf_s).astype(jnp.int32)
     return PoolingIndex(rd_s.astype(jnp.int32), rf_s.astype(jnp.int32),
                         rank_s.astype(jnp.int32), order_by_feat)

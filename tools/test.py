@@ -36,6 +36,9 @@ def main():
                     help='directory for per-sample .npz prediction dumps')
     ap.add_argument('--rayiou', action='store_true',
                     help='also compute RayIoU from the batch point clouds')
+    ap.add_argument('--streaming', action='store_true',
+                    help='cached-BEV streaming inference (one camera pass '
+                         'per frame; requires temporally ordered samples)')
     args = ap.parse_args()
 
     import jax
@@ -80,12 +83,26 @@ def main():
         print(f'loaded checkpoint {path} (step {int(state.step)})')
 
     params = state.params if args.no_ema else state.ema_params
+    variables = {'params': params, 'batch_stats': state.batch_stats}
 
-    @jax.jit
-    def predict(batch):
-        return model.apply(
-            {'params': params, 'batch_stats': state.batch_stats},
-            batch, method=FusionOcc.predict)
+    if args.streaming:
+        stream_state = model.apply(variables, args.batch_size,
+                                   method=FusionOcc.init_streaming_state)
+
+        @jax.jit
+        def _stream_step(batch, s):
+            pred, _, ns = model.apply(variables, batch, s,
+                                      method=FusionOcc.predict_streaming)
+            return pred, ns
+
+        def predict(batch):
+            nonlocal stream_state
+            pred, stream_state = _stream_step(batch, stream_state)
+            return pred
+    else:
+        @jax.jit
+        def predict(batch):
+            return model.apply(variables, batch, method=FusionOcc.predict)
 
     metric = OccupancyMetric(num_classes=model_cfg.num_classes,
                              use_image_mask=model_cfg.use_mask)
