@@ -128,9 +128,11 @@ class DepthSegNet(nn.Module):
         seg_se = Mlp(mid, mid, dtype=self.dtype,
                      name='seg_mlp')(mi)[:, None, None, :]
         seg = SELayer(mid, dtype=self.dtype, name='seg_se')(x_c, seg_se)
-        seg = nn.relu(ConvBN(seg_feat_ch, (3, 3), norm=False, use_bias=True,
-                             act=None, dtype=self.dtype,
-                             name='seg_conv0')(seg, train=train))
+        # plain conv straight into the BasicBlock — no activation between
+        # (fusion_view_transformer.py:69-72)
+        seg = ConvBN(seg_feat_ch, (3, 3), norm=False, use_bias=True,
+                     act=None, dtype=self.dtype,
+                     name='seg_conv0')(seg, train=train)
         seg_feature = BasicBlock2D(seg_feat_ch, dtype=self.dtype,
                                    name='seg_conv1')(seg, train=train)
         seg_out = nn.Conv(cfg.seg_num_classes, (1, 1), dtype=self.dtype,
