@@ -254,3 +254,28 @@ def data_loader(dataset: NuScenesOccDataset, batch_size: int,
         if drop_last and len(idxs) < batch_size:
             break
         yield pl.stack_batch([fetch(j) for j in idxs])
+
+
+def prefetch(iterator, depth: int = 2):
+    """Background-thread prefetching wrapper (the dataloader-worker
+    equivalent: overlaps host preprocessing with device steps)."""
+    import queue
+    import threading
+
+    q: 'queue.Queue' = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item

@@ -69,16 +69,19 @@ def main():
             while True:
                 yield synthetic_batch(model_cfg, args.batch_size, seed=0)
     else:
-        from fusionocc_tpu.data.dataset import NuScenesOccDataset, data_loader
+        from fusionocc_tpu.data.dataset import (NuScenesOccDataset,
+                                                data_loader, prefetch)
         ds = NuScenesOccDataset(args.ann_file, model_cfg,
                                 data_root=args.data_root,
                                 img_seg_dir=args.img_seg_dir, train=True)
-        iters_per_epoch = len(ds) // args.batch_size
+        hosts = jax.process_count()
+        iters_per_epoch = len(ds) // (args.batch_size * hosts)
         def batches():
             epoch = 0
             while True:
-                yield from data_loader(ds, args.batch_size, shuffle=True,
-                                       seed=epoch)
+                yield from prefetch(data_loader(
+                    ds, args.batch_size, shuffle=True, seed=epoch,
+                    host_id=jax.process_index(), host_count=hosts))
                 epoch += 1
 
     optim = dataclasses.replace(
