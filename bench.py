@@ -26,6 +26,11 @@ def main():
     import jax
     import numpy as np
 
+    # persistent compilation cache: the full-size program takes minutes to
+    # compile; cache it across bench invocations
+    jax.config.update('jax_compilation_cache_dir', '/tmp/fusionocc_jax_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
     from fusionocc_tpu.config import full_model_config
     from fusionocc_tpu.data.synthetic import synthetic_batch
     from fusionocc_tpu.models.fusion_occ import FusionOcc
