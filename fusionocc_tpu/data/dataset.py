@@ -125,7 +125,7 @@ class NuScenesOccDataset:
         """1/8-res .npy seg map -> full-res nearest -> same aug
         (loading.py:106-130)."""
         name = img_path.split('samples')[-1].replace('.jpg', '.npy')
-        seg = np.load(self.img_seg_dir + name)
+        seg = np.load(os.path.join(self.img_seg_dir, name.lstrip('/')))
         seg = np.repeat(np.repeat(seg, restore_upsample, 1),
                         restore_upsample, 0)
         out = pl.transform_image(seg.astype(np.uint8), aug, nearest=True)

@@ -30,12 +30,16 @@ from ..ops.bev_pool import PoolingIndex, bev_pool
 Dtype = Any
 
 
-def downsample_depth_onehot(sparse_depth: jnp.ndarray, downsample: int,
-                            grid: GridConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def downsample_depth_onehot(
+        sparse_depth: jnp.ndarray, downsample: int, grid: GridConfig,
+        sid: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Min-pool sparse depth per patch, quantize to one-hot depth bins.
 
     Args:
       sparse_depth: (B, N, H, W) metres, 0 = empty.
+      sid: spacing-increasing discretization — log-spaced bins instead of
+        linear (view_transformer.py:771-778):
+        bin = 1 + (D-1) * log(d / lo) / log((hi - 1) / lo).
     Returns:
       onehot: (B, N, h, w, D) float32 (all-zero rows where no depth), and
       bin index map (B, N, h, w) int32 (0 = empty, else 1..D).
@@ -47,8 +51,12 @@ def downsample_depth_onehot(sparse_depth: jnp.ndarray, downsample: int,
     x = sparse_depth.reshape(B, N, H // ds, ds, W // ds, ds)
     x = jnp.where(x == 0.0, 1e5, x)
     x = jnp.min(x, axis=(3, 5))                       # (B, N, h, w)
-    lo, _, step = grid.depth
-    binf = (x - (lo - step)) / step
+    lo, hi, step = grid.depth
+    if sid:
+        binf = jnp.log(x) - jnp.log(jnp.float32(lo))
+        binf = binf * (D - 1) / jnp.log(jnp.float32(hi - 1.0) / lo) + 1.0
+    else:
+        binf = (x - (lo - step)) / step
     binf = jnp.where((binf < D + 1) & (binf >= 0.0), binf, 0.0)
     bins = binf.astype(jnp.int32)                     # 0 = empty, 1..D valid
     onehot = jax.nn.one_hot(bins, D + 1, dtype=jnp.float32)[..., 1:]
@@ -182,7 +190,7 @@ class CrossModalLSS(nn.Module):
         D = self.grid.num_depth_bins
 
         onehot, _ = downsample_depth_onehot(sparse_depth, cfg.downsample,
-                                            self.grid)
+                                            self.grid, sid=cfg.sid)
         depth_input = jax.lax.stop_gradient(onehot)      # (B, N, h, w, D)
         if train and cfg.depth_drop_rate > 0:
             keep = jax.random.bernoulli(

@@ -50,47 +50,12 @@ def latest_checkpoint(root: str) -> Optional[str]:
     return os.path.join(root, max(steps)[1])
 
 
-# ---------------------------------------------------------------------------
-# Torch checkpoint import (for parity testing against the reference).
-# ---------------------------------------------------------------------------
-
-def _t2j_conv2d(w: np.ndarray) -> np.ndarray:
-    """torch (O, I, kh, kw) -> flax (kh, kw, I, O)."""
-    return np.transpose(w, (2, 3, 1, 0))
-
-
-def _t2j_conv3d(w: np.ndarray) -> np.ndarray:
-    """torch (O, I, kd, kh, kw) -> flax (kd, kh, kw, I, O)."""
-    return np.transpose(w, (2, 3, 4, 1, 0))
-
-
-def _t2j_linear(w: np.ndarray) -> np.ndarray:
-    """torch (O, I) -> flax (I, O)."""
-    return np.transpose(w, (1, 0))
-
-
-def _t2j_spconv(w: np.ndarray) -> np.ndarray:
-    """spconv2 weight (O, kx, ky, kz, I) -> ours (27, I, O).
-
-    spconv 2.x native layout is (out, k0, k1, k2, in); the kernel offsets in
-    ops/sparse_conv.KERNEL_OFFSETS are row-major (dx, dy, dz), matching the
-    (k0, k1, k2) flattening.
-    """
-    O, k0, k1, k2, I = w.shape
-    return np.transpose(w.reshape(O, k0 * k1 * k2, I), (1, 2, 0))
-
-
-def import_torch_checkpoint(state_dict: Dict[str, np.ndarray],
-                            params, batch_stats) -> Any:
+def import_torch_checkpoint(state_dict: Dict[str, np.ndarray], params,
+                            batch_stats, cfg) -> Any:
     """Map a reference FusionOCC torch state_dict onto our parameter trees.
 
-    Returns (params, batch_stats) with imported values where a mapping is
-    known; unmatched entries keep their initialized values and are reported.
-    NOTE: full key-by-key mapping is exercised only when a real reference
-    checkpoint is available; see tests/test_checkpoint.py for the round-trip
-    and converter unit tests.
+    Thin alias for train.torch_import.import_state_dict (the rule-table
+    importer, golden-tested in tests/test_torch_golden.py).
     """
-    raise NotImplementedError(
-        'Torch checkpoint import requires a reference checkpoint file; the '
-        'converters (_t2j_*) are unit-tested and the key mapping will be '
-        'completed when a checkpoint is available for parity testing.')
+    from .torch_import import import_state_dict
+    return import_state_dict(state_dict, params, batch_stats, cfg)

@@ -28,7 +28,7 @@ def depth_loss(depth_pred: jnp.ndarray, sparse_depth: jnp.ndarray,
     fusion_view_transformer.py:204-219 (sum over bins / #fg pixels).
     """
     labels, _ = downsample_depth_onehot(sparse_depth, cfg.vt.downsample,
-                                        cfg.grid)
+                                        cfg.grid, sid=cfg.vt.sid)
     labels = labels.reshape(-1, labels.shape[-1])
     pred = depth_pred.astype(jnp.float32).reshape(-1, depth_pred.shape[-1])
     fg = jnp.max(labels, axis=1) > 0.0

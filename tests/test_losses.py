@@ -44,6 +44,37 @@ def test_depth_loss_matches_torch():
     assert abs(got - ref) < 1e-4, (got, ref)
 
 
+def test_sid_depth_binning_matches_torch():
+    """SID (log-spaced) GT depth bins == reference formula
+    (view_transformer.py:768-778), incl. min-pool and empty handling."""
+    cfg = tiny_model_config()
+    rng = np.random.RandomState(7)
+    B, N = 1, 2
+    H, W = cfg.input_size
+    ds = cfg.vt.downsample
+    D = cfg.grid.num_depth_bins
+    lo, hi, _ = cfg.grid.depth
+    sd = np.where(rng.rand(B, N, H, W) < 0.3,
+                  rng.uniform(0.5, hi + 2.0, (B, N, H, W)), 0.0
+                  ).astype(np.float32)
+
+    # reference formula in torch
+    g = torch.from_numpy(sd).view(B * N, H // ds, ds, W // ds, ds, 1)
+    g = g.permute(0, 1, 3, 5, 2, 4).contiguous().view(-1, ds * ds)
+    g = torch.where(g == 0.0, 1e5 * torch.ones_like(g), g)
+    g = torch.min(g, dim=-1).values
+    g = torch.log(g) - torch.log(torch.tensor(float(lo)))
+    g = g * (D - 1) / torch.log(torch.tensor(hi - 1.0) / lo) + 1.0
+    g = torch.where((g < D + 1) & (g >= 0.0), g, torch.zeros_like(g))
+    ref = F.one_hot(g.long(), num_classes=D + 1).view(-1, D + 1)[:, 1:]
+
+    onehot, bins = downsample_depth_onehot(jnp.asarray(sd), ds, cfg.grid,
+                                           sid=True)
+    got = np.asarray(onehot).reshape(-1, D)
+    np.testing.assert_array_equal(got, ref.numpy().astype(np.float32))
+    assert np.asarray(bins).min() >= 0 and np.asarray(bins).max() <= D
+
+
 def test_seg_loss_matches_torch():
     cfg = tiny_model_config()
     rng = np.random.RandomState(1)
