@@ -220,8 +220,10 @@ class NuScenesOccDataset:
 def data_loader(dataset: NuScenesOccDataset, batch_size: int,
                 shuffle: bool, seed: int = 0, drop_last: bool = True,
                 max_resample: int = 8,
-                host_id: int = 0, host_count: int = 1):
-    """Minimal host loader: yields stacked Batches.
+                host_id: int = 0, host_count: int = 1,
+                num_workers: int = 4, pipeline_batches: int = 2,
+                yield_indices: bool = False):
+    """Host loader: yields stacked Batches.
 
     Like the reference's BaseDataset error handling
     (fusionocc_dataset.py:93-106), a sample whose pipeline raises is replaced
@@ -230,6 +232,13 @@ def data_loader(dataset: NuScenesOccDataset, batch_size: int,
     host_id/host_count shard the (seed-synchronized) sample order across
     hosts — the jax-native replacement for DefaultSampler +
     DistSamplerSeedHook (configs/fusion_occ.py:321,412).
+
+    num_workers: thread-pool width for per-sample fetch (JPEG decode /
+    numpy transforms release the GIL), the reference's `workers_per_gpu=4`
+    (configs/fusion_occ.py:317).  pipeline_batches: how many batches ahead
+    to keep in flight.  yield_indices: yield (Batch, sample_indices) tuples
+    instead of bare Batches (eval loops use the indices for scene-boundary
+    detection).
     """
     order = np.arange(len(dataset))
     rng = np.random.RandomState(seed)
@@ -248,12 +257,39 @@ def data_loader(dataset: NuScenesOccDataset, batch_size: int,
                 j = rng.randint(0, len(dataset))
         raise RuntimeError(f'{max_resample} consecutive sample failures')
 
+    groups = []
     for i in range(0, len(order) - (batch_size - 1 if drop_last else 0),
                    batch_size):
         idxs = order[i:i + batch_size]
         if drop_last and len(idxs) < batch_size:
             break
-        yield pl.stack_batch([fetch(j) for j in idxs])
+        groups.append(idxs)
+
+    def emit(idxs, samples):
+        b = pl.stack_batch(samples)
+        return (b, idxs) if yield_indices else b
+
+    if num_workers <= 0:
+        for idxs in groups:
+            yield emit(idxs, [fetch(j) for j in idxs])
+        return
+
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=num_workers) as ex:
+        inflight = collections.deque()
+        gi = iter(groups)
+        def fill():
+            for idxs in gi:
+                inflight.append((idxs, [ex.submit(fetch, j) for j in idxs]))
+                if len(inflight) >= max(1, pipeline_batches):
+                    break
+        fill()
+        while inflight:
+            idxs, futs = inflight.popleft()
+            samples = [f.result() for f in futs]
+            fill()
+            yield emit(idxs, samples)
 
 
 def prefetch(iterator, depth: int = 2):

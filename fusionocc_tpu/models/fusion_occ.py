@@ -65,6 +65,24 @@ class StreamingState(NamedTuple):
     valid: jnp.ndarray           # (B,) bool — False at scene starts
 
 
+def frame_pooling_index(cfg: ModelConfig, s2k, intrins, post_rots, post_trans,
+                        bda) -> 'PoolingIndex':
+    """Pooling index for one temporal frame's camera geometry.
+
+    The TPU-native `accelerate` path (view_transformer.py:175-194): at
+    inference the camera rig, intrinsics, and (deterministic) image aug are
+    fixed, so the frustum->voxel rank sort — the most expensive non-conv op
+    in the forward — can be computed ONCE and passed into the jitted step as
+    an ordinary input instead of being re-sorted every call.  Callers cache
+    the result keyed on the geometry (tools/test.py, bench.py) and must
+    recompute when geometry changes (e.g. per-scene intrinsics).
+    """
+    frustum = make_frustum(cfg.grid.depth, cfg.input_size,
+                           cfg.vt.downsample, cfg.vt.sid)
+    coor = frustum_to_ego(frustum, s2k, intrins, post_rots, post_trans, bda)
+    return prepare_pooling_index(coor, cfg.grid)
+
+
 class FusionOcc(nn.Module):
     """cfg: model hyper-parameters.  mesh: optional jax Mesh whose 'spatial'
     axis (if present) shards the camera batch and the BEV grid across chips
@@ -126,27 +144,32 @@ class FusionOcc(nn.Module):
         return y.reshape(B, N, h, w, -1)
 
     def _frame_voxel_feat(self, imgs_f, s2k_f, s2k_key, intrin_f, post_rot_f,
-                          post_tran_f, bda, sparse_depth, train: bool):
+                          post_tran_f, bda, sparse_depth, train: bool,
+                          pool_idx=None):
         """One temporal frame through the camera branch.
 
         Geometry uses the frame's own sensor2keyego so that adjacent frames
         land directly in the key-ego grid (see module docstring).
+        pool_idx: optional precomputed index (see frame_pooling_index);
+        None recomputes it in-graph (required in training, where BDA/aug
+        change the geometry every step).
         """
         cfg = self.cfg
         mlp_input = get_mlp_input(s2k_key, intrin_f, post_rot_f, post_tran_f,
                                   bda)
         x = self.image_encoder(imgs_f, train)
-        frustum = make_frustum(cfg.grid.depth, cfg.input_size,
-                               cfg.vt.downsample, cfg.vt.sid)
-        coor = frustum_to_ego(frustum, s2k_f, intrin_f, post_rot_f,
-                              post_tran_f, bda)
-        pool_idx = prepare_pooling_index(coor, cfg.grid)
+        if pool_idx is None:
+            pool_idx = frame_pooling_index(cfg, s2k_f, intrin_f, post_rot_f,
+                                           post_tran_f, bda)
         voxel, depth, seg = self.img_view_transformer(
             x, sparse_depth, mlp_input, pool_idx, train=train)
         voxel = self.pre_process_net(voxel, train=train)[0]
         return voxel, depth, seg
 
-    def __call__(self, batch: Batch, train: bool = False) -> Dict[str, Any]:
+    def __call__(self, batch: Batch, train: bool = False,
+                 pool_idxs=None) -> Dict[str, Any]:
+        """pool_idxs: optional per-frame precomputed pooling indices
+        (sequence of PoolingIndex or None, indexed by frame id)."""
         cfg = self.cfg
         F = cfg.num_frame
 
@@ -159,7 +182,8 @@ class FusionOcc(nn.Module):
                 batch.imgs[:, fid], batch.sensor2keyego[:, fid],
                 batch.sensor2keyego[:, 0], batch.intrins[:, fid],
                 batch.post_rots[:, fid], batch.post_trans[:, fid],
-                batch.bda, batch.sparse_depth, train)
+                batch.bda, batch.sparse_depth, train,
+                pool_idx=None if pool_idxs is None else pool_idxs[fid])
             if fid == 0:
                 depth_key, seg_key = depth, seg
             else:
@@ -183,9 +207,9 @@ class FusionOcc(nn.Module):
             'seg_logits': seg_key,  # (B, N, h, w, num_seg)
         }
 
-    def predict(self, batch: Batch) -> jnp.ndarray:
+    def predict(self, batch: Batch, pool_idxs=None) -> jnp.ndarray:
         """Inference: (B, X, Y, Z) uint8 class ids (fusion_occ.py:877-920)."""
-        out = self(batch, train=False)
+        out = self(batch, train=False, pool_idxs=pool_idxs)
         return jnp.argmax(out['occ_logits'], axis=-1).astype(jnp.uint8)
 
     # -- streaming inference with a temporal BEV cache ----------------------
@@ -219,7 +243,8 @@ class FusionOcc(nn.Module):
         warped = warped.reshape(B, C, Z, Y, X)
         return jnp.transpose(warped, (0, 2, 3, 4, 1)).astype(feat.dtype)
 
-    def predict_streaming(self, batch: Batch, state: StreamingState):
+    def predict_streaming(self, batch: Batch, state: StreamingState,
+                          pool_idx=None, reset=None):
         """One-frame inference reusing the cached previous-frame BEV feature.
 
         Runs the camera branch ONCE (for the new key frame), warps the cached
@@ -230,17 +255,25 @@ class FusionOcc(nn.Module):
         (fusionocc_dataset.py:253-266).
 
         batch: single-frame inputs (F axis = 1) with ego2global set.
+        pool_idx: optional precomputed key-frame pooling index
+          (frame_pooling_index) — at eval the geometry is static, so callers
+          cache it and the steady-state step runs zero rank sorts.
+        reset: optional (B,) bool — True where this sample starts a new
+          scene; the cached feature from the previous scene is discarded
+          (the dataset's scene-bounded adjacency, fusionocc_dataset.py:253-266).
         Returns (pred, outputs, new_state).
         """
         cfg = self.cfg
         assert batch.ego2global is not None
         assert cfg.num_adj == 1, 'streaming cache assumes one adjacent frame'
+        if reset is not None:
+            state = state._replace(valid=state.valid & ~reset)
         lidar_feat = self._lidar_feat(batch, train=False)
         voxel, depth, seg = self._frame_voxel_feat(
             batch.imgs[:, 0], batch.sensor2keyego[:, 0],
             batch.sensor2keyego[:, 0], batch.intrins[:, 0],
             batch.post_rots[:, 0], batch.post_trans[:, 0],
-            batch.bda, batch.sparse_depth, train=False)
+            batch.bda, batch.sparse_depth, train=False, pool_idx=pool_idx)
 
         dst2src = jnp.einsum(
             'bij,bjk->bik',

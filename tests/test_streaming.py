@@ -64,6 +64,93 @@ def test_streaming_identity_motion_second_frame(setup):
                                np.asarray(s1.voxel_feat), atol=1e-5)
 
 
+def test_streaming_scene_reset(setup):
+    """reset=True at a scene boundary discards the cached feature: the
+    prediction equals one from a fresh streaming state (tools/test.py resets
+    on scene_token change, mirroring fusionocc_dataset.py:253-266)."""
+    cfg, model, b, variables = setup
+    b_new = synthetic_batch(cfg, 1, 3, num_points=512)
+    step = jax.jit(lambda v, bb, s, r: model.apply(
+        v, bb, s, reset=r, method=FusionOcc.predict_streaming))
+    state = model.apply(variables, 1, method=FusionOcc.init_streaming_state)
+    no_reset = jnp.zeros((1,), bool)
+
+    # prime the cache with a frame from the "previous scene"
+    _, _, s1 = step(variables, b, state, no_reset)
+    assert bool(s1.valid[0])
+    # new scene with reset: must equal a fresh-state prediction
+    _, out_reset, s2 = step(variables, b_new, s1, jnp.ones((1,), bool))
+    _, out_fresh, _ = step(variables, b_new, state, no_reset)
+    np.testing.assert_allclose(np.asarray(out_reset['occ_logits']),
+                               np.asarray(out_fresh['occ_logits']),
+                               rtol=1e-5, atol=1e-5)
+    assert bool(s2.valid[0])  # cache re-primed after the reset frame
+    # control: carrying the stale cache across the boundary does NOT equal
+    # the fresh prediction (the bug the reset fixes)
+    _, out_stale, _ = step(variables, b_new, s1, no_reset)
+    assert not np.allclose(np.asarray(out_stale['occ_logits']),
+                           np.asarray(out_fresh['occ_logits']),
+                           rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_vs_twopass_real_motion():
+    """Under non-identity ego motion the streaming (warped-cache) prediction
+    must agree with the conventional two-pass forward on most voxels: the
+    cache path replaces re-pooling the previous images through the full
+    geometry with a bilinear BEV warp (fusion_occ.py:329-428 semantics)."""
+    cfg = tiny_model_config()
+    model = FusionOcc(cfg)
+    b0 = synthetic_batch(cfg, 1, 0, num_points=512)
+    b1 = synthetic_batch(cfg, 1, 1, num_points=512)
+    # frame t's adjacent images ARE frame t-1's key images; poses already
+    # consistent (synthetic ego advances +0.5 m/frame, adj frame s2k -0.5 m)
+    b1 = b1._replace(imgs=np.concatenate(
+        [b1.imgs[:, :1], b0.imgs[:, :1]], axis=1))
+    variables = jax.jit(lambda bb: model.init(
+        {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+        bb, train=False))(b0)
+
+    full = jax.jit(lambda v, bb: model.apply(
+        v, bb, train=False))(variables, b1)['occ_logits']
+    pred_full = np.argmax(np.asarray(full), -1)
+
+    step = jax.jit(lambda v, bb, s: model.apply(
+        v, bb, s, method=FusionOcc.predict_streaming))
+    state = model.apply(variables, 1, method=FusionOcc.init_streaming_state)
+    _, _, s1 = step(variables, b0, state)
+    pred_s, out_s, _ = step(variables, b1, s1)
+
+    agree = float(np.mean(np.argmax(np.asarray(out_s['occ_logits']), -1)
+                          == pred_full))
+    mae = float(np.mean(np.abs(np.asarray(out_s['occ_logits'])
+                               - np.asarray(full))))
+    scale = float(np.mean(np.abs(np.asarray(full))))
+    assert agree > 0.95, f'streaming/two-pass voxel agreement {agree}'
+    assert mae < 0.15 * scale, (mae, scale)
+
+
+def test_predict_with_cached_pool_index_matches():
+    """predict(pool_idxs=precomputed) == predict() — the accelerate path
+    changes where the rank sort runs, not the math."""
+    from fusionocc_tpu.models.fusion_occ import frame_pooling_index
+    cfg = tiny_model_config()
+    model = FusionOcc(cfg)
+    b = synthetic_batch(cfg, 1, 2, num_points=512)
+    variables = jax.jit(lambda bb: model.init(
+        {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+        bb, train=False))(b)
+    ref = jax.jit(lambda v, bb: model.apply(
+        v, bb, method=FusionOcc.predict))(variables, b)
+    idx_key = jax.jit(lambda bb: frame_pooling_index(
+        cfg, bb.sensor2keyego[:, 0], bb.intrins[:, 0], bb.post_rots[:, 0],
+        bb.post_trans[:, 0], bb.bda))(b)
+    pool_idxs = (idx_key,) + (None,) * (cfg.num_frame - 1)
+    got = jax.jit(lambda v, bb, pi: model.apply(
+        v, bb, pool_idxs=pi, method=FusionOcc.predict))(variables, b,
+                                                        pool_idxs)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_shift_bev_translation(setup):
     """A +x ego translation shifts the sampled feature by the right number
     of grid cells."""
