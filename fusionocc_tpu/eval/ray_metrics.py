@@ -9,9 +9,22 @@ for its GT class when the predicted class matches and the travelled depths
 differ by less than a threshold (1/2/4 m). IoU_c = TP_c/(TP_c+FP_c+FN_c),
 mIoU averaged over classes present and over thresholds.
 
-Rays are supplied by the caller (typically lidar-beam directions from the
-sample's point cloud — `rays_from_points`), so the query distribution
-matches the sensor like the official implementation.
+Rays are supplied by the caller: either the official synthetic lidar fan
+(`generate_lidar_rays`, the ray set the STCOcc evaluator uses,
+ray_metrics_occ3d.py:83-106) or beam directions from the sample's point
+cloud (`rays_from_points`).
+
+Validated against the official definition (calc_metrics,
+ray_metrics_occ3d.py:187-235): per-threshold TP = (pred hit class == gt hit
+class) AND |pred depth - gt depth| < thr; per-class counts accumulate each
+ray under its hit class; IoU_c = tp / (gt_cnt + pred_cnt - tp); classes
+absent from both sides are excluded (nan), free dropped; headline RayIoU =
+mean over thresholds of the class means.  Intentional divergences from the
+CUDA DVR renderer: (a) marching uses a fixed 0.2 m step instead of exact
+voxel traversal, so hit depths quantize to the step (well under the 1 m
+finest threshold); (b) rays that exit the grid without hitting are excluded
+from both sides' counts rather than carrying the renderer's last-voxel
+fallback.
 """
 from __future__ import annotations
 
@@ -38,6 +51,26 @@ def rays_from_points(points: np.ndarray, origin=(0.0, 0.0, 0.0),
         pad = pts[rng.choice(len(pts), max_rays - len(pts))]
         pts = np.concatenate([pts, pad], axis=0)
     return pts.astype(np.float32)
+
+
+def generate_lidar_rays() -> np.ndarray:
+    """The official evaluation ray fan (ray_metrics_occ3d.py:83-106).
+
+    Pitch angles follow the nuScenes lidar: -(pi/2 - atan(k+1)) for k<10,
+    then extended upward with the last spacing until +0.21 rad; azimuth
+    sweeps 0..359 deg in 1 deg steps.
+    """
+    import math
+    pitch = [-(math.pi / 2 - math.atan(k + 1)) for k in range(10)]
+    while pitch[-1] < 0.21:
+        pitch.append(pitch[-1] + (pitch[-1] - pitch[-2]))
+    rays = []
+    for p in pitch:
+        for az_deg in np.arange(0, 360, 1):
+            az = np.deg2rad(az_deg)
+            rays.append((np.cos(p) * np.cos(az), np.cos(p) * np.sin(az),
+                         np.sin(p)))
+    return np.asarray(rays, np.float32)
 
 
 def _first_hit(occ: jnp.ndarray, origin: jnp.ndarray, dirs: jnp.ndarray,

@@ -287,6 +287,54 @@ def _unflatten(flat: Dict[str, Any]):
     return tree
 
 
+def convert_official_swin(state_dict: Dict[str, np.ndarray],
+                          prefix: str = 'img_backbone.'
+                          ) -> Dict[str, np.ndarray]:
+    """Official (Microsoft) Swin checkpoint keys -> mmcv-format keys.
+
+    Re-implements the reference's swin_convert (backbones/swin.py:32-84):
+    layers->stages, attn.->attn.w_msa., mlp.fc1/fc2->ffn.layers.0.0/1,
+    patch_embed.proj->projection, classification head dropped, and the
+    nn.Unfold channel-order correction on PatchMerging reduction/norm
+    weights (official concat order [x00, x10, x01, x11] by-chunk vs mmcv
+    unfold's interleaved c*4+p).  The result feeds import_state_dict for
+    warm-starting from an official Swin pretrain (configs load_from path).
+    """
+    def reduction_order(x):
+        o, i = x.shape
+        return x.reshape(o, 4, i // 4)[:, (0, 2, 1, 3)].transpose(
+            0, 2, 1).reshape(o, i)
+
+    def norm_order(x):
+        i = x.shape[0]
+        return x.reshape(4, i // 4)[(0, 2, 1, 3), :].T.reshape(i)
+
+    out: Dict[str, np.ndarray] = {}
+    for k, v in state_dict.items():
+        v = np.asarray(v)
+        if k.startswith('head'):
+            continue
+        if k.startswith('layers'):
+            if 'attn.' in k:
+                k = k.replace('attn.', 'attn.w_msa.')
+            elif 'mlp.fc1.' in k:
+                k = k.replace('mlp.fc1.', 'ffn.layers.0.0.')
+            elif 'mlp.fc2.' in k:
+                k = k.replace('mlp.fc2.', 'ffn.layers.1.')
+            elif 'mlp.' in k:
+                k = k.replace('mlp.', 'ffn.')
+            elif 'downsample' in k:
+                if 'reduction.' in k:
+                    v = reduction_order(v)
+                elif 'norm.' in k:
+                    v = norm_order(v)
+            k = k.replace('layers', 'stages', 1)
+        elif k.startswith('patch_embed') and 'proj' in k:
+            k = k.replace('proj', 'projection')
+        out[prefix + k] = v
+    return out
+
+
 def import_state_dict(state_dict: Dict[str, np.ndarray], params,
                       batch_stats, cfg: ModelConfig, strict: bool = True):
     """Overwrite flax trees with converted torch weights.

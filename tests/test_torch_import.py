@@ -106,3 +106,68 @@ def test_imported_model_still_runs(trees):
         {'params': p, 'batch_stats': s}, b, train=False)['occ_logits'])(
             new_params, new_stats, batch)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_official_swin_convert_round_trip():
+    """convert_official_swin == the reference's swin_convert
+    (backbones/swin.py:32-84): construct an official-format state_dict by
+    inverse-transforming an mmcv-format one, convert it, and require exact
+    recovery (incl. the nn.Unfold channel-order fix on PatchMerging)."""
+    rng = np.random.RandomState(3)
+    C, O = 8, 16
+
+    mmcv = {
+        'patch_embed.projection.weight': rng.randn(C, 3, 4, 4),
+        'patch_embed.projection.bias': rng.randn(C),
+        'patch_embed.norm.weight': rng.randn(C),
+        'stages.0.blocks.0.norm1.weight': rng.randn(C),
+        'stages.0.blocks.0.attn.w_msa.qkv.weight': rng.randn(3 * C, C),
+        'stages.0.blocks.0.attn.w_msa.qkv.bias': rng.randn(3 * C),
+        'stages.0.blocks.0.attn.w_msa.proj.weight': rng.randn(C, C),
+        'stages.0.blocks.0.attn.w_msa.relative_position_bias_table':
+            rng.randn(49, 2),
+        'stages.0.blocks.0.norm2.weight': rng.randn(C),
+        'stages.0.blocks.0.ffn.layers.0.0.weight': rng.randn(4 * C, C),
+        'stages.0.blocks.0.ffn.layers.0.0.bias': rng.randn(4 * C),
+        'stages.0.blocks.0.ffn.layers.1.weight': rng.randn(C, 4 * C),
+        'stages.0.downsample.norm.weight': rng.randn(4 * C),
+        'stages.0.downsample.norm.bias': rng.randn(4 * C),
+        'stages.0.downsample.reduction.weight': rng.randn(O, 4 * C),
+        'norm1.weight': rng.randn(O),
+    }
+    mmcv = {k: v.astype(np.float32) for k, v in mmcv.items()}
+
+    def inv_reduction(y):
+        o, i = y.shape
+        return y.reshape(o, i // 4, 4).transpose(0, 2, 1)[
+            :, (0, 2, 1, 3)].reshape(o, i)
+
+    def inv_norm(y):
+        i = y.shape[0]
+        return y.reshape(i // 4, 4).T[(0, 2, 1, 3), :].reshape(i)
+
+    official = {}
+    for k, v in mmcv.items():
+        if k.startswith('stages'):
+            if 'attn.w_msa.' in k:
+                k = k.replace('attn.w_msa.', 'attn.')
+            elif 'ffn.layers.0.0.' in k:
+                k = k.replace('ffn.layers.0.0.', 'mlp.fc1.')
+            elif 'ffn.layers.1.' in k:
+                k = k.replace('ffn.layers.1.', 'mlp.fc2.')
+            elif 'downsample.reduction.' in k:
+                v = inv_reduction(v)
+            elif 'downsample.norm.' in k:
+                v = inv_norm(v)
+            k = k.replace('stages', 'layers', 1)
+        elif 'projection' in k:
+            k = k.replace('projection', 'proj')
+        official[k] = v
+    official['head.fc.weight'] = rng.randn(10, O).astype(np.float32)
+
+    got = ti.convert_official_swin(official)
+    assert 'img_backbone.head.fc.weight' not in got
+    assert set(got) == {f'img_backbone.{k}' for k in mmcv}
+    for k, v in mmcv.items():
+        np.testing.assert_allclose(got[f'img_backbone.{k}'], v, rtol=0,
+                                   atol=0, err_msg=k)
