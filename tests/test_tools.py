@@ -112,3 +112,24 @@ def test_create_data_from_fake_tables(tmp_path):
     info = data['data_list'][0]
     assert set(info['cams']) == set(cams)
     assert info['lidar2ego_translation'] == [0, 0, 1.5]
+
+
+def test_burnin_tool_smoke(tmp_path):
+    """Burn-in tool: finite losses, checkpoint mid-run, bit-exact resume
+    replay (unified recipe: accum + backbone lr_mult)."""
+    import importlib.util
+    import sys
+    spec = importlib.util.spec_from_file_location(
+        'burnin', os.path.join(os.path.dirname(__file__), '..', 'tools',
+                               'burnin.py'))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    argv = sys.argv
+    sys.argv = ['burnin.py', '--tiny', '--steps', '4', '--accum', '2',
+                '--ckpt-at', '2', '--num-batches', '2',
+                '--out', str(tmp_path)]
+    try:
+        m.main()
+    finally:
+        sys.argv = argv
+    assert (tmp_path / 'loss_curve.jsonl').exists()

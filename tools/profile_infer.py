@@ -71,14 +71,14 @@ def main():
                             method=FusionOcc.init_streaming_state)
 
         @jax.jit
-        def step_c(batch, s, pi):
-            pred, _, ns = model.apply(variables, batch, s, pool_idx=pi,
+        def step_c(v, batch, s, pi):
+            pred, _, ns = model.apply(v, batch, s, pool_idx=pi,
                                       method=FusionOcc.predict_streaming)
             return pred, ns
 
         holder = [state]
         def run(batch):
-            pred, holder[0] = step_c(batch, holder[0], pool_idx)
+            pred, holder[0] = step_c(variables, batch, holder[0], pool_idx)
             jax.block_until_ready(pred)
         run(b0); run(batches[1])
         results['streaming_cached_ms'] = round(
@@ -90,14 +90,14 @@ def main():
                             method=FusionOcc.init_streaming_state)
 
         @jax.jit
-        def step_g(batch, s):
-            pred, _, ns = model.apply(variables, batch, s,
+        def step_g(v, batch, s):
+            pred, _, ns = model.apply(v, batch, s,
                                       method=FusionOcc.predict_streaming)
             return pred, ns
 
         holder = [state]
         def run_g(batch):
-            pred, holder[0] = step_g(batch, holder[0])
+            pred, holder[0] = step_g(variables, batch, holder[0])
             jax.block_until_ready(pred)
         run_g(b0); run_g(batches[1])
         results['streaming_graph_ms'] = round(
@@ -108,12 +108,12 @@ def main():
         pool_idxs = (pool_idx,) + (None,) * (cfg.num_frame - 1)
 
         @jax.jit
-        def two(batch, pi):
-            return model.apply(variables, batch, pool_idxs=pi,
+        def two(v, batch, pi):
+            return model.apply(v, batch, pool_idxs=pi,
                                method=FusionOcc.predict)
 
         def run_t(batch):
-            jax.block_until_ready(two(batch, pool_idxs))
+            jax.block_until_ready(two(variables, batch, pool_idxs))
         run_t(b0); run_t(batches[1])
         results['twopass_cached_ms'] = round(
             burst_median(run_t, batches, args.iters) * 1000, 1)
@@ -121,11 +121,11 @@ def main():
 
     if 'two_graph' in modes:
         @jax.jit
-        def two_g(batch):
-            return model.apply(variables, batch, method=FusionOcc.predict)
+        def two_g(v, batch):
+            return model.apply(v, batch, method=FusionOcc.predict)
 
         def run_tg(batch):
-            jax.block_until_ready(two_g(batch))
+            jax.block_until_ready(two_g(variables, batch))
         run_tg(b0); run_tg(batches[1])
         results['twopass_graph_ms'] = round(
             burst_median(run_tg, batches, args.iters) * 1000, 1)
