@@ -38,6 +38,24 @@ class MetricLogger:
             for k, v in scalars.items():
                 self._tb.add_scalar(f'{prefix}/{k}', float(v), int(step))
 
+    def log_image(self, step: int, name: str, img) -> None:
+        """Log an (H, W, 3) uint8 image — TensorBoard when available, plus a
+        PNG under work_dir/images (the LocalVisBackend analog,
+        configs/fusion_occ.py:416-421)."""
+        import numpy as np
+        img = np.asarray(img)
+        if self._tb is not None:
+            self._tb.add_image(name, img, int(step), dataformats='HWC')
+        img_dir = os.path.join(os.path.dirname(self.jsonl_path), 'images')
+        os.makedirs(img_dir, exist_ok=True)
+        safe = name.replace('/', '_')
+        try:
+            from PIL import Image
+            Image.fromarray(img).save(
+                os.path.join(img_dir, f'{safe}_{int(step):07d}.png'))
+        except ImportError:
+            np.save(os.path.join(img_dir, f'{safe}_{int(step):07d}.npy'), img)
+
     def close(self) -> None:
         self._jsonl.close()
         if self._tb is not None:

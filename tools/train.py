@@ -41,6 +41,9 @@ def main():
     ap.add_argument('--log-interval', type=int, default=50)
     ap.add_argument('--ckpt-interval-steps', type=int, default=0,
                     help='0 = once per epoch')
+    ap.add_argument('--render-interval', type=int, default=0,
+                    help='log a BEV render of the EMA prediction every N '
+                         'steps to TensorBoard/PNG (0 = off)')
     args = ap.parse_args()
 
     import dataclasses
@@ -124,6 +127,11 @@ def main():
             mlog.log(i + 1, scalars)
             line = ' '.join(f'{k}={v:.4f}' for k, v in scalars.items())
             print(f'step {i + 1}/{total} {line}', flush=True)
+        if args.render_interval and (i + 1) % args.render_interval == 0:
+            from fusionocc_tpu.utils.visualization import occupancy_bev_image
+            pred = np.asarray(je(state, batch, True))
+            mlog.log_image(i + 1, 'train/bev_pred',
+                           occupancy_bev_image(pred[0]))
         if (i + 1) % ckpt_every == 0:
             path = ckpt.save_checkpoint(args.work_dir, jax.device_get(state))
             print(f'saved {path}', flush=True)
