@@ -299,6 +299,34 @@ class FusionOcc(nn.Module):
         return pred, {'occ_logits': logits, 'depth': depth,
                       'seg_logits': seg}, new_state
 
+    def predict_streaming_scan(self, frames: Batch, state: StreamingState,
+                               resets=None, pool_idx=None):
+        """Streaming inference over T consecutive frames in ONE program.
+
+        frames: a Batch whose leaves carry a leading time axis (T, B, ...);
+        resets: optional (T, B) bool scene-boundary flags.  The temporal
+        cache threads through a lax.scan, so a whole clip runs in a single
+        device program — amortizing per-launch overhead, keeping the BEV
+        cache in device memory, and letting XLA pipeline the T iterations.
+        This is the deployment serving mode; the reference processes frames
+        one python call at a time (tools/test.py loop).
+
+        Returns (preds (T, B, X, Y, Z) uint8, final state).
+        """
+        if resets is None:
+            resets = jnp.zeros(
+                (jax.tree_util.tree_leaves(frames)[0].shape[0],
+                 state.valid.shape[0]), bool)
+
+        def body(s, xs):
+            frame, reset = xs
+            pred, _, ns = self.predict_streaming(frame, s, pool_idx=pool_idx,
+                                                 reset=reset)
+            return ns, pred
+
+        final, preds = jax.lax.scan(body, state, (frames, resets))
+        return preds, final
+
     def init_streaming_state(self, batch_size: int = 1) -> StreamingState:
         cfg = self.cfg
         gx, gy, gz = cfg.grid.grid_size

@@ -168,3 +168,34 @@ def test_shift_bev_translation(setup):
     # the spike should now appear at x-index 6 (dst cell whose src maps to 8)
     assert w[0, 0, 5, 6, 0] > 0.9, w[0, 0, 5, :, 0]
     assert w[0, 0, 5, 8, 0] < 0.1
+
+
+def test_streaming_scan_matches_sequential():
+    """predict_streaming_scan (whole clip in one program) == T sequential
+    predict_streaming calls, including a mid-clip scene reset."""
+    cfg = tiny_model_config()
+    model = FusionOcc(cfg)
+    frames = [synthetic_batch(cfg, 1, s, num_points=512) for s in range(3)]
+    variables = jax.jit(lambda bb: model.init(
+        {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+        bb, train=False))(frames[0])
+    state = model.apply(variables, 1, method=FusionOcc.init_streaming_state)
+    resets = np.array([[False], [False], [True]])
+
+    step = jax.jit(lambda v, bb, s, r: model.apply(
+        v, bb, s, reset=r, method=FusionOcc.predict_streaming))
+    seq_preds, s_seq = [], state
+    for b, r in zip(frames, resets):
+        p, _, s_seq = step(variables, b, s_seq, jnp.asarray(r))
+        seq_preds.append(np.asarray(p))
+
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, 0), *frames)
+    scan_fn = jax.jit(lambda v, f, s, r: model.apply(
+        v, f, s, resets=r, method=FusionOcc.predict_streaming_scan))
+    preds, s_scan = scan_fn(variables, stacked, state, jnp.asarray(resets))
+    assert preds.shape[0] == 3
+    for t in range(3):
+        np.testing.assert_array_equal(np.asarray(preds[t]), seq_preds[t])
+    np.testing.assert_allclose(np.asarray(s_scan.voxel_feat),
+                               np.asarray(s_seq.voxel_feat), atol=1e-6)
