@@ -276,13 +276,15 @@ def data_loader(dataset: NuScenesOccDataset, batch_size: int,
 
     import collections
     from concurrent.futures import ThreadPoolExecutor
+    # keep enough batches in flight to occupy every worker even at batch 1
+    window = max(1, pipeline_batches, -(-num_workers // batch_size))
     with ThreadPoolExecutor(max_workers=num_workers) as ex:
         inflight = collections.deque()
         gi = iter(groups)
         def fill():
             for idxs in gi:
                 inflight.append((idxs, [ex.submit(fetch, j) for j in idxs]))
-                if len(inflight) >= max(1, pipeline_batches):
+                if len(inflight) >= window:
                     break
         fill()
         while inflight:
