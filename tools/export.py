@@ -26,6 +26,9 @@ def main():
     ap.add_argument('--checkpoint', default=None)
     ap.add_argument('--tiny', action='store_true')
     ap.add_argument('--fp32', action='store_true')
+    ap.add_argument('--int8-weights', action='store_true',
+                    help='weight-only int8 post-training quantization '
+                         'before export (the TRT-INT8 deployment analog)')
     ap.add_argument('--verify', action='store_true',
                     help='roundtrip-deserialize and compare outputs')
     args = ap.parse_args()
@@ -55,7 +58,14 @@ def main():
                 if os.path.isdir(args.checkpoint) else args.checkpoint)
         state = ckpt.restore_checkpoint(path, state)
 
-    variables = {'params': state.ema_params, 'batch_stats': state.batch_stats}
+    params = state.ema_params
+    if args.int8_weights:
+        from fusionocc_tpu.quant import (dequantize_tree, quantize_tree,
+                                         quantized_size_bytes)
+        q, meta = quantize_tree(params)
+        print('int8 weights:', quantized_size_bytes(q, meta))
+        params = dequantize_tree(q, meta, dtype=cfg.dtype)
+    variables = {'params': params, 'batch_stats': state.batch_stats}
 
     def infer(batch):
         return model.apply(variables, batch, method=FusionOcc.predict)
