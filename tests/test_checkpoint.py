@@ -56,3 +56,43 @@ def test_bf16_policy_drift_is_bounded():
         v, batch)
     agree = float(np.mean(np.asarray(p32) == np.asarray(p16)))
     assert agree > 0.98, f'bf16 argmax agreement only {agree:.4f}'
+
+
+def test_checkpoint_compat_across_variants(tmp_path):
+    """Checkpoints transfer between variants that share the architecture
+    (mask/loss ablations) and fail loudly across structural changes
+    (image-only has no lidar params)."""
+    import dataclasses
+    import jax
+    import numpy as np
+    from fusionocc_tpu.config import TrainConfig, tiny_model_config
+    from fusionocc_tpu.data.synthetic import synthetic_batch
+    from fusionocc_tpu.train import checkpoint as ckpt
+    from fusionocc_tpu.train.loop import create_train_state
+
+    base = tiny_model_config()
+    batch = synthetic_batch(base, 1, 0, num_points=512)
+    _, state = create_train_state(TrainConfig(model=base),
+                                  jax.random.PRNGKey(0), batch)
+    tag = ckpt.save_checkpoint(str(tmp_path), state, step=1)
+
+    # same architecture, different training semantics: loads fine
+    womask = dataclasses.replace(base, use_mask=False,
+                                 mask_mode='baseline_like')
+    _, s2 = create_train_state(TrainConfig(model=womask),
+                               jax.random.PRNGKey(1), batch)
+    restored = ckpt.restore_checkpoint(tag, s2)
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # structural change: image-only model has no lidar encoder params
+    img_only = dataclasses.replace(base, use_lidar=False)
+    _, s3 = create_train_state(TrainConfig(model=img_only),
+                               jax.random.PRNGKey(2), batch)
+    try:
+        ckpt.restore_checkpoint(tag, s3)
+        raised = False
+    except Exception:
+        raised = True
+    assert raised, 'structural mismatch restored silently'
