@@ -84,15 +84,22 @@ class WindowMSA(nn.Module):
                        param_dtype=jnp.float32, name='qkv')(x)
         qkv = qkv.reshape(Bn, N, 3, self.num_heads, head_dim)
         q, k, v = (qkv[:, :, i] for i in range(3))
+        # scores accumulate fp32 on the MXU but are STORED in the compute
+        # dtype: the (nW, h, N, N) logit/prob buffers are the largest
+        # activations in the camera branch, and halving their HBM traffic
+        # matters more than the last bf16 mantissa bits (softmax still
+        # max-subtracts in fp32 inside the fused reduction)
         attn = jnp.einsum('bnhd,bmhd->bhnm', q * scale, k,
-                          preferred_element_type=jnp.float32)
-        attn = attn + bias[None]
+                          preferred_element_type=jnp.float32
+                          ).astype(self.dtype)
+        attn = attn + bias[None].astype(self.dtype)
         if mask is not None:
             nW = mask.shape[0]
             attn = attn.reshape(Bn // nW, nW, self.num_heads, N, N)
-            attn = attn + mask[None, :, None].astype(jnp.float32)
+            attn = attn + mask[None, :, None].astype(self.dtype)
             attn = attn.reshape(Bn, self.num_heads, N, N)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = jax.nn.softmax(attn.astype(jnp.float32),
+                              axis=-1).astype(self.dtype)
         out = jnp.einsum('bhnm,bmhd->bnhd', attn, v)
         out = out.reshape(Bn, N, C)
         return nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
