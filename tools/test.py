@@ -39,6 +39,12 @@ def main():
     ap.add_argument('--streaming', action='store_true',
                     help='cached-BEV streaming inference (one camera pass '
                          'per frame; requires temporally ordered samples)')
+    ap.add_argument('--fp32', action='store_true',
+                    help='fp32 compute instead of the default bf16 policy '
+                         '(the reference --fp16 flag analog, inverted)')
+    ap.add_argument('--int8-weights', action='store_true',
+                    help='weight-only int8 post-training quantization '
+                         '(the reference --int8-engines analog)')
     args = ap.parse_args()
 
     import jax
@@ -53,6 +59,9 @@ def main():
     from fusionocc_tpu.train.loop import create_train_state
 
     model_cfg = tiny_model_config() if args.tiny else full_model_config()
+    if args.fp32:
+        import dataclasses
+        model_cfg = dataclasses.replace(model_cfg, compute_dtype='float32')
 
     if args.synthetic:
         n = args.max_samples or 4
@@ -88,6 +97,10 @@ def main():
         print(f'loaded checkpoint {path} (step {int(state.step)})')
 
     params = state.params if args.no_ema else state.ema_params
+    if args.int8_weights:
+        from fusionocc_tpu.quant import dequantize_tree, quantize_tree
+        q, meta = quantize_tree(params)
+        params = dequantize_tree(q, meta, dtype=model_cfg.dtype)
     variables = {'params': params, 'batch_stats': state.batch_stats}
 
     # Cached pooling index (the `accelerate` path,
