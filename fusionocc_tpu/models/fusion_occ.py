@@ -166,29 +166,83 @@ class FusionOcc(nn.Module):
         voxel = self.pre_process_net(voxel, train=train)[0]
         return voxel, depth, seg
 
+    def _batched_frame_feats(self, batch: Batch, train: bool):
+        """All temporal frames through the camera branch in ONE pass.
+
+        Folds the frame axis into the batch axis (B*F) so the Swin/FPN/VT
+        matmuls run at 12-image occupancy instead of two 6-image passes,
+        and the frustum rank sort runs once over the merged point set.
+        Eval-only: training keeps the per-frame loop so adjacent frames
+        stay under stop_gradient (the reference's no_grad adjacent
+        extraction, fusion_occ.py:276-327).
+
+        Returns (voxel_feats oldest..newest order list, depth_key, seg_key).
+        """
+        cfg = self.cfg
+        B, F, N, H, W, _ = batch.imgs.shape
+        imgs_all = batch.imgs.reshape(B * F, N, H, W, 3)
+        x_all = self.image_encoder(imgs_all, train)       # (B*F, N, h, w, C)
+
+        mlps = [get_mlp_input(batch.sensor2keyego[:, 0],
+                              batch.intrins[:, f], batch.post_rots[:, f],
+                              batch.post_trans[:, f], batch.bda)
+                for f in range(F)]
+        mlp_all = jnp.stack(mlps, 1).reshape(B * F, N, -1)
+        sd_all = jnp.broadcast_to(batch.sparse_depth[:, None],
+                                  (B, F, N, H, W)).reshape(B * F, N, H, W)
+
+        frustum = make_frustum(cfg.grid.depth, cfg.input_size,
+                               cfg.vt.downsample, cfg.vt.sid)
+        coors = [frustum_to_ego(frustum, batch.sensor2keyego[:, f],
+                                batch.intrins[:, f], batch.post_rots[:, f],
+                                batch.post_trans[:, f], batch.bda)
+                 for f in range(F)]
+        coor_all = jnp.stack(coors, 1)                    # (B, F, N, D, h, w, 3)
+        coor_all = coor_all.reshape((B * F,) + coor_all.shape[2:])
+        pool_idx = prepare_pooling_index(coor_all, cfg.grid)
+
+        voxel, depth, seg = self.img_view_transformer(
+            x_all, sd_all, mlp_all, pool_idx, train=train)
+        voxel = self.pre_process_net(voxel, train=train)[0]
+        gz, gy, gx = voxel.shape[1:4]
+        voxel = voxel.reshape(B, F, gz, gy, gx, -1)
+        h, w = depth.shape[2], depth.shape[3]
+        depth_key = depth.reshape(B, F, N, h, w, -1)[:, 0]
+        seg_key = seg.reshape(B, F, N, h, w, -1)[:, 0]
+        # loop order is [frame F-1 (oldest) ... frame 0]
+        feats = [voxel[:, f] for f in range(F - 1, -1, -1)]
+        return feats, depth_key, seg_key
+
     def __call__(self, batch: Batch, train: bool = False,
-                 pool_idxs=None) -> Dict[str, Any]:
+                 pool_idxs=None, batch_frames: bool = False
+                 ) -> Dict[str, Any]:
         """pool_idxs: optional per-frame precomputed pooling indices
-        (sequence of PoolingIndex or None, indexed by frame id)."""
+        (sequence of PoolingIndex or None, indexed by frame id).
+        batch_frames: eval-only — run all temporal frames through the
+        camera branch in one batched pass (see _batched_frame_feats)."""
         cfg = self.cfg
         F = cfg.num_frame
 
         lidar_feat = self._lidar_feat(batch, train)
 
-        voxel_feats = []          # order: [frame F-1 (oldest) ... frame 0]
-        depth_key = seg_key = None
-        for fid in range(F - 1, -1, -1):
-            voxel, depth, seg = self._frame_voxel_feat(
-                batch.imgs[:, fid], batch.sensor2keyego[:, fid],
-                batch.sensor2keyego[:, 0], batch.intrins[:, fid],
-                batch.post_rots[:, fid], batch.post_trans[:, fid],
-                batch.bda, batch.sparse_depth, train,
-                pool_idx=None if pool_idxs is None else pool_idxs[fid])
-            if fid == 0:
-                depth_key, seg_key = depth, seg
-            else:
-                voxel = jax.lax.stop_gradient(voxel)
-            voxel_feats.append(voxel)
+        if batch_frames and not train and F > 1:
+            voxel_feats, depth_key, seg_key = self._batched_frame_feats(
+                batch, train)
+        else:
+            voxel_feats = []      # order: [frame F-1 (oldest) ... frame 0]
+            depth_key = seg_key = None
+            for fid in range(F - 1, -1, -1):
+                voxel, depth, seg = self._frame_voxel_feat(
+                    batch.imgs[:, fid], batch.sensor2keyego[:, fid],
+                    batch.sensor2keyego[:, 0], batch.intrins[:, fid],
+                    batch.post_rots[:, fid], batch.post_trans[:, fid],
+                    batch.bda, batch.sparse_depth, train,
+                    pool_idx=None if pool_idxs is None else pool_idxs[fid])
+                if fid == 0:
+                    depth_key, seg_key = depth, seg
+                else:
+                    voxel = jax.lax.stop_gradient(voxel)
+                voxel_feats.append(voxel)
 
         fusion = jnp.concatenate(
             voxel_feats + [lidar_feat.astype(cfg.dtype)], axis=-1)
@@ -207,9 +261,11 @@ class FusionOcc(nn.Module):
             'seg_logits': seg_key,  # (B, N, h, w, num_seg)
         }
 
-    def predict(self, batch: Batch, pool_idxs=None) -> jnp.ndarray:
+    def predict(self, batch: Batch, pool_idxs=None,
+                batch_frames: bool = False) -> jnp.ndarray:
         """Inference: (B, X, Y, Z) uint8 class ids (fusion_occ.py:877-920)."""
-        out = self(batch, train=False, pool_idxs=pool_idxs)
+        out = self(batch, train=False, pool_idxs=pool_idxs,
+                   batch_frames=batch_frames)
         return jnp.argmax(out['occ_logits'], axis=-1).astype(jnp.uint8)
 
     # -- streaming inference with a temporal BEV cache ----------------------

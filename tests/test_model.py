@@ -73,3 +73,33 @@ def test_predict_dtype(setup):
     assert pred.dtype == jnp.uint8
     assert pred.shape == (1,) + cfg.grid.grid_size
     assert int(np.max(np.asarray(pred))) < cfg.num_classes
+
+
+def test_batched_frames_matches_loop():
+    """Eval with all temporal frames folded into the batch axis
+    (batch_frames=True) == the per-frame loop, bit-for-bit semantics."""
+    import jax
+    import numpy as np
+    from fusionocc_tpu.config import tiny_model_config
+    from fusionocc_tpu.data.synthetic import synthetic_batch
+    from fusionocc_tpu.models.fusion_occ import FusionOcc
+
+    cfg = tiny_model_config()
+    model = FusionOcc(cfg)
+    b = synthetic_batch(cfg, 2, 1, num_points=512)
+    variables = jax.jit(lambda bb: model.init(
+        {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+        bb, train=False))(b)
+    ref = jax.jit(lambda v, bb: model.apply(v, bb, train=False))(
+        variables, b)
+    got = jax.jit(lambda v, bb: model.apply(
+        v, bb, train=False, batch_frames=True))(variables, b)
+    np.testing.assert_allclose(np.asarray(got['occ_logits']),
+                               np.asarray(ref['occ_logits']),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got['depth']),
+                               np.asarray(ref['depth']), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got['seg_logits']),
+                               np.asarray(ref['seg_logits']), rtol=1e-4,
+                               atol=1e-5)
