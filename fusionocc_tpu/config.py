@@ -71,6 +71,9 @@ class SwinConfig:
     drop_path_rate: float = 0.1
     return_stereo_feat: bool = True
     with_cp: bool = True  # remat the transformer blocks
+    # Fused Pallas window attention (scores stay VMEM-resident); interpret
+    # mode off-TPU, so the flag is safe everywhere.
+    fused_attn: bool = True
 
     @property
     def num_features(self) -> Tuple[int, ...]:
@@ -213,7 +216,11 @@ def tiny_model_config(**overrides) -> ModelConfig:
         depth=(1.0, 9.0, 1.0))
     swin = SwinConfig(
         embed_dims=16, depths=(1, 1, 2, 1), num_heads=(1, 2, 4, 8),
-        window_size=4, drop_path_rate=0.0, with_cp=False)
+        window_size=4, drop_path_rate=0.0, with_cp=False,
+        # interpret-mode Pallas makes CPU compiles of the tiny training
+        # step ~2.3x slower; the kernel has its own parity tests, so the
+        # driver-facing tiny config keeps the plain XLA path.
+        fused_attn=False)
     lidar = SparseEncoderConfig(
         in_channels=5, base_channels=4,
         encoder_channels=((4, 4, 8), (8, 8, 12), (12, 12, 16), (16, 16)),

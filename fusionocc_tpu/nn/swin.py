@@ -57,12 +57,21 @@ def window_reverse(wins: jnp.ndarray, w: int, B: int, H: int, W: int
 
 
 class WindowMSA(nn.Module):
-    """Multi-head attention within windows with relative position bias."""
+    """Multi-head attention within windows with relative position bias.
+
+    When ``fused`` is set (and window geometry is given), the whole
+    scores→softmax→PV chain runs as one Pallas kernel with the (N, N)
+    attention matrices VMEM-resident (ops/pallas/window_attn.py); the
+    cyclic-shift mask is rebuilt inside the kernel, so ``mask`` is ignored.
+    """
     dim: int
     num_heads: int
     window_size: int
     qkv_bias: bool = True
     dtype: Dtype = jnp.float32
+    fused: bool = False
+    # (nWh, nWw, shift) static window-grid geometry for the fused kernel
+    win_geom: Optional[Tuple[int, int, int]] = None
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -82,6 +91,14 @@ class WindowMSA(nn.Module):
 
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
                        param_dtype=jnp.float32, name='qkv')(x)
+        if self.fused and self.win_geom is not None:
+            from ..ops.pallas.window_attn import fused_window_attention
+            nWh, nWw, shift = self.win_geom
+            q, k, v = (qkv[..., i * C:(i + 1) * C] for i in range(3))
+            out = fused_window_attention(q, k, v, bias, nWh, nWw, w,
+                                         shift, self.num_heads)
+            return nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
+                            name='proj')(out)
         qkv = qkv.reshape(Bn, N, 3, self.num_heads, head_dim)
         q, k, v = (qkv[:, :, i] for i in range(3))
         # scores accumulate fp32 on the MXU but are STORED in the compute
@@ -115,6 +132,7 @@ class SwinBlock(nn.Module):
     qkv_bias: bool
     drop_path_rate: float
     dtype: Dtype = jnp.float32
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, x, hw_shape, deterministic: bool = True):
@@ -135,6 +153,7 @@ class SwinBlock(nn.Module):
         attn_mask = None
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+        if shift > 0 and not self.fused_attn:
             img_mask = np.zeros((Hp, Wp), np.int32)
             cnt = 0
             for hs in (slice(0, Hp - w), slice(Hp - w, Hp - shift),
@@ -149,7 +168,9 @@ class SwinBlock(nn.Module):
 
         wins = window_partition(y, w)
         wins = WindowMSA(C, self.num_heads, w, self.qkv_bias,
-                         dtype=self.dtype, name='attn')(wins, attn_mask)
+                         dtype=self.dtype, fused=self.fused_attn,
+                         win_geom=(Hp // w, Wp // w, shift),
+                         name='attn')(wins, attn_mask)
         y = window_reverse(wins, w, B, Hp, Wp)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
@@ -238,7 +259,8 @@ class SwinTransformer(nn.Module):
                     shift=(j % 2 == 1), mlp_ratio=cfg.mlp_ratio,
                     qkv_bias=cfg.qkv_bias,
                     drop_path_rate=float(dpr[block_id]),
-                    dtype=self.dtype, name=f'stage{i}_block{j}')(
+                    dtype=self.dtype, fused_attn=cfg.fused_attn,
+                    name=f'stage{i}_block{j}')(
                         blocks_out, hw, deterministic)
                 block_id += 1
             out = blocks_out
