@@ -74,6 +74,12 @@ class SwinConfig:
     # Fused Pallas window attention (scores stay VMEM-resident); interpret
     # mode off-TPU, so the flag is safe everywhere.
     fused_attn: bool = True
+    # Only fuse stages with <= this many heads.  The kernel body unrolls
+    # one matmul pair per head, so Mosaic compile time grows with the head
+    # count, while the HBM payoff shrinks with resolution: the late (16/32
+    # head) stages have few windows and tiny score tensors.  8 fuses the
+    # two high-resolution stages that carry ~80% of the attention traffic.
+    fused_attn_max_heads: int = 8
 
     @property
     def num_features(self) -> Tuple[int, ...]:

@@ -259,7 +259,9 @@ class SwinTransformer(nn.Module):
                     shift=(j % 2 == 1), mlp_ratio=cfg.mlp_ratio,
                     qkv_bias=cfg.qkv_bias,
                     drop_path_rate=float(dpr[block_id]),
-                    dtype=self.dtype, fused_attn=cfg.fused_attn,
+                    dtype=self.dtype,
+                    fused_attn=(cfg.fused_attn and cfg.num_heads[i]
+                                <= cfg.fused_attn_max_heads),
                     name=f'stage{i}_block{j}')(
                         blocks_out, hw, deterministic)
                 block_id += 1

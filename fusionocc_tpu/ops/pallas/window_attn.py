@@ -22,6 +22,13 @@ layout the qkv projection produces), so no big pre-transposes are needed.
 N = window**2 = 144 for window 12 (sublane-aligned: 144 % 8 == 0); C is a
 multiple of 128 for every Swin-B stage, so blocks are lane-aligned.
 
+Policy (measured on v5e, full-size 12-image Swin-B forward via
+tools/ab_swin_fused.py): fusing only the high-resolution stages
+(<= 8 heads; SwinConfig.fused_attn_max_heads) with one window per grid
+step runs 132 -> 74 ms median (~44% faster) and compiles FASTER than the
+unfused XLA lowering.  Fusing the late 16/32-head stages is a net loss —
+few windows, tiny score tensors, long per-head unrolls.
+
 Backward: custom VJP that recomputes probabilities with plain XLA ops
 (flash-style recompute; fp32) — training works, inference gets the full
 fused win.  Falls back to interpret mode off-TPU so the CPU test suite
@@ -38,23 +45,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 MASK_VALUE = -100.0  # matches mmcv's masked_fill value (swin.py:447)
-# max WB * C: bounds both VMEM block size (~WB*N*C*2B per buffer) and, more
-# importantly, Mosaic compile time — the kernel body unrolls WB * heads
-# (= WB*C/32) matmul pairs, so 1024 keeps every stage's unroll at <=32.
-_VMEM_BLOCK_BUDGET = 1024
 
 
 def _use_interpret() -> bool:
     return jax.default_backend() != 'tpu'
-
-
-def _pick_window_block(bn: int, c: int) -> int:
-    """Largest divisor of bn with wb * c <= budget (>=1)."""
-    cap = max(1, _VMEM_BLOCK_BUDGET // max(c, 1))
-    for wb in range(min(cap, bn), 0, -1):
-        if bn % wb == 0:
-            return wb
-    return 1
 
 
 def _region_ids(pos, last, w: int, shift: int):
@@ -81,46 +75,47 @@ def _shift_mask(widx, nWh: int, nWw: int, w: int, shift: int, n: int):
     return jnp.where(same, 0.0, MASK_VALUE).astype(jnp.float32)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, wb: int, heads: int,
+def _attn_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, heads: int,
                  head_dim: int, scale: float, nWh: int, nWw: int, w: int,
                  shift: int):
+    # One window per grid step (block (1, N, C)): small blocks pipeline
+    # HBM<->VMEM best on this workload, and the body unrolls only `heads`
+    # matmul pairs, keeping Mosaic compile time below the unfused XLA path.
     i = pl.program_id(0)
     n = w * w
-    for j in range(wb):
-        mask = None
-        if shift > 0:
-            mask = _shift_mask(i * wb + j, nWh, nWw, w, shift, n)
-        q = q_ref[j].astype(jnp.float32)   # (N, C)
-        k = k_ref[j].astype(jnp.float32)
-        v = v_ref[j].astype(jnp.float32)
-        outs = []
-        for h in range(heads):
-            sl = slice(h * head_dim, (h + 1) * head_dim)
-            s = jax.lax.dot_general(
-                q[:, sl] * scale, k[:, sl],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)       # (N, N)
-            s = s + b_ref[h]
-            if mask is not None:
-                s = s + mask
-            p = jax.nn.softmax(s, axis=-1)
-            outs.append(jnp.dot(p, v[:, sl],
-                                preferred_element_type=jnp.float32))
-        o_ref[j] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+    mask = None
+    if shift > 0:
+        mask = _shift_mask(i, nWh, nWw, w, shift, n)
+    q = q_ref[0].astype(jnp.float32)   # (N, C)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    outs = []
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        s = jax.lax.dot_general(
+            q[:, sl] * scale, k[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (N, N)
+        s = s + b_ref[h]
+        if mask is not None:
+            s = s + mask
+        p = jax.nn.softmax(s, axis=-1)
+        outs.append(jnp.dot(p, v[:, sl],
+                            preferred_element_type=jnp.float32))
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
 def _forward(q, k, v, bias, nWh, nWw, w, shift, heads):
     bn, n, c = q.shape
     head_dim = c // heads
     scale = head_dim ** -0.5
-    wb = _pick_window_block(bn, c)
     kern = functools.partial(
-        _attn_kernel, wb=wb, heads=heads, head_dim=head_dim, scale=scale,
+        _attn_kernel, heads=heads, head_dim=head_dim, scale=scale,
         nWh=nWh, nWw=nWw, w=w, shift=shift)
-    blk = pl.BlockSpec((wb, n, c), lambda i: (i, 0, 0))
+    blk = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0))
     return pl.pallas_call(
         kern,
-        grid=(bn // wb,),
+        grid=(bn,),
         in_specs=[blk, blk, blk,
                   pl.BlockSpec((heads, n, n), lambda i: (0, 0, 0))],
         out_specs=blk,

@@ -39,6 +39,10 @@ def main():
     ap.add_argument('--streaming', action='store_true',
                     help='cached-BEV streaming inference (one camera pass '
                          'per frame; requires temporally ordered samples)')
+    ap.add_argument('--batch-frames', action='store_true',
+                    help='two-pass eval with all temporal frames folded '
+                         'into one camera-branch invocation (better MXU '
+                         'occupancy; equivalent outputs)')
     ap.add_argument('--fp32', action='store_true',
                     help='fp32 compute instead of the default bf16 policy '
                          '(the reference --fp16 flag analog, inverted)')
@@ -147,9 +151,14 @@ def main():
         @jax.jit
         def _predict(batch, pool_idxs):
             return model.apply(variables, batch, pool_idxs=pool_idxs,
+                               batch_frames=args.batch_frames,
                                method=FusionOcc.predict)
 
         def predict(batch, scenes):
+            if args.batch_frames:
+                # the merged-frame rank sort runs in-graph (adjacent-frame
+                # geometry is motion-dependent, so there is nothing to cache)
+                return _predict(batch, None)
             # frame 0 (key) uses the cached index; adjacent frames depend on
             # per-sample ego motion and stay in-graph
             idxs = (key_pool_idx(batch),) + (None,) * (model_cfg.num_frame - 1)
