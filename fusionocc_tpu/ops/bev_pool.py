@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import GridConfig
+from .search import searchsorted
 
 
 class PoolingIndex(NamedTuple):
@@ -98,7 +99,7 @@ def _sorted_segment_sum(vals: jnp.ndarray, seg: jnp.ndarray,
     csum = jnp.cumsum(vals.astype(jnp.float32), axis=0)
     csum_pad = jnp.concatenate([jnp.zeros((1, C), jnp.float32), csum], axis=0)
     # bounds[v] = first sorted position whose segment id >= v
-    bounds = jnp.searchsorted(
+    bounds = searchsorted(
         seg, jnp.arange(num_segments + 1, dtype=seg.dtype))
     return csum_pad[bounds[1:]] - csum_pad[bounds[:-1]]
 

@@ -21,6 +21,8 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+from ..search import searchsorted
 from jax.experimental import pallas as pl
 
 BLK = 2048
@@ -88,6 +90,6 @@ def boundary_segment_sum(depth_vals: jnp.ndarray, feat_rows: jnp.ndarray,
         v = local[idx] + carry[idx // BLK]
         return jnp.where((pos > 0)[:, None], v, 0.0)
 
-    bounds = jnp.searchsorted(
+    bounds = searchsorted(
         seg, jnp.arange(num_segments + 1, dtype=seg.dtype))
     return csum_at(bounds[1:]) - csum_at(bounds[:-1])

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .search import searchsorted
 from .voxelize import SparseVoxels, coords_to_key, key_to_coords
 
 KERNEL_OFFSETS = np.stack(np.meshgrid(
@@ -39,7 +40,7 @@ KERNEL_OFFSETS = np.stack(np.meshgrid(
 def _lookup(in_keys: jnp.ndarray, queries: jnp.ndarray,
             sentinel_idx: int) -> jnp.ndarray:
     """Find each query key in the sorted key array; miss -> sentinel_idx."""
-    pos = jnp.searchsorted(in_keys, queries).astype(jnp.int32)
+    pos = searchsorted(in_keys, queries).astype(jnp.int32)
     pos = jnp.minimum(pos, in_keys.shape[0] - 1)
     found = in_keys[pos] == queries
     return jnp.where(found, pos, sentinel_idx)
@@ -116,7 +117,7 @@ def _downsample_coords_one(in_coords, in_mask, shape_in, shape_out,
     # non-decreasing, so unique #i sits at searchsorted(slot, i)
     slot = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     n8 = keys.shape[0]
-    pos = jnp.searchsorted(slot, jnp.arange(capacity, dtype=jnp.int32))
+    pos = searchsorted(slot, jnp.arange(capacity, dtype=jnp.int32))
     pos_c = jnp.minimum(pos, n8 - 1)
     out_keys = keys[pos_c]
     out_mask = (pos < n8) & is_new[pos_c] & (out_keys < sentinel_out)
@@ -198,7 +199,7 @@ def sparse_to_dense(feats: jnp.ndarray, keys: jnp.ndarray,
 
     def one(f, k):
         cell = jnp.arange(n, dtype=k.dtype)
-        pos = jnp.minimum(jnp.searchsorted(k, cell), V - 1)
+        pos = jnp.minimum(searchsorted(k, cell), V - 1)
         hit = k[pos] == cell
         dense = jnp.where(hit[:, None], f[pos], 0)
         return dense.reshape(sx, sy, sz, C)

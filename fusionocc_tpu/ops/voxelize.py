@@ -18,6 +18,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from .search import searchsorted
+
 
 class SparseVoxels(NamedTuple):
     """Batched static-capacity COO voxel set (per-sample sorted by key)."""
@@ -74,7 +76,7 @@ def _voxelize_one(points: jnp.ndarray, valid: jnp.ndarray,
     # Scatter-free segmented mean: vid is sorted, so each voxel's point run
     # is found by binary search and reduced via cumsum differences.
     P = points.shape[0]
-    bounds = jnp.searchsorted(vid, jnp.arange(capacity + 1, dtype=jnp.int32))
+    bounds = searchsorted(vid, jnp.arange(capacity + 1, dtype=jnp.int32))
     csum = jnp.concatenate(
         [jnp.zeros((1, pts_s.shape[1]), jnp.float32),
          jnp.cumsum(pts_s, axis=0)], axis=0)

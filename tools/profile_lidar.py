@@ -1,0 +1,87 @@
+"""Micro-bisection of the LiDAR branch primitives on the real chip.
+
+Identifies where the ~1.5 s lidar-branch latency goes: voxelize sort,
+per-stage searchsorted neighbor-map builds, gather-GEMMs, densify.
+Timing uses the sum-reduce barrier (see tools/profile_forward.py).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update('jax_compilation_cache_dir', '/tmp/fusionocc_jax_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+    from fusionocc_tpu.config import full_model_config
+    from fusionocc_tpu.data.synthetic import synthetic_batch
+    from fusionocc_tpu.ops import sparse_conv as sc
+    from fusionocc_tpu.ops.voxelize import SparseVoxels, voxelize_mean
+
+    reduce = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+
+    def timed(name, fn, *args, n=3):
+        out = fn(*args)
+        np.asarray(reduce(jax.tree_util.tree_leaves(out)[0]))
+        lat = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            np.asarray(reduce(jax.tree_util.tree_leaves(out)[0]))
+            lat.append(time.perf_counter() - t0)
+        print(f'{name:38s} {min(lat)*1e3:9.1f} ms', flush=True)
+        return out
+
+    cfg = full_model_config()
+    lcfg = cfg.lidar
+    shape = lcfg.sparse_shape(cfg.grid)
+    pcr = cfg.grid.point_cloud_range
+    b = jax.device_put(synthetic_batch(cfg, batch_size=1, seed=0))
+    print(f'sparse_shape={shape} point_cap={b.points.shape} '
+          f'voxel_caps={lcfg.voxel_capacity}', flush=True)
+
+    vox_fn = jax.jit(lambda p, m: voxelize_mean(
+        p.astype(jnp.float32), m, pcr, lcfg.voxel_size, shape,
+        lcfg.voxel_capacity[0]))
+    sp = timed('voxelize_mean (sort+unique+segmean)', vox_fn,
+               b.points, b.points_mask)
+
+    subm_fn = jax.jit(lambda s: sc.build_subm_index(s, shape))
+    nbr = timed('build_subm_index stage0 (27xV srch)', subm_fn, sp)
+
+    cin, cout = 16, 16
+    key = jax.random.PRNGKey(0)
+    f0 = jax.device_put(np.random.rand(
+        1, lcfg.voxel_capacity[0], cin).astype(np.float32))
+    w = jax.device_put(np.random.rand(27, cin, cout).astype(np.float32))
+    conv_fn = jax.jit(lambda f, m, i, w: sc.sparse_conv_apply(f, m, i, w))
+    timed('sparse_conv_apply stage0 (gatherGEMM)', conv_fn,
+          f0, sp.mask, nbr, w)
+
+    stride_fn = jax.jit(lambda s: sc.build_strided_index(
+        s, shape, lcfg.voxel_capacity[1]))
+    timed('build_strided_index stage0->1', stride_fn,
+          SparseVoxels(f0, sp.coords, sp.keys, sp.mask))
+
+    final_shape = tuple(s // 8 for s in shape[:2]) + (shape[2] // 8,)
+    v3 = lcfg.voxel_capacity[3]
+    f3 = jax.device_put(np.random.rand(1, v3, 32).astype(np.float32))
+    k3 = jax.device_put(np.sort(np.random.choice(
+        final_shape[0] * final_shape[1] * final_shape[2], v3,
+        replace=False)).astype(np.int32)[None])
+    m3 = jax.device_put(np.ones((1, v3), bool))
+    dense_fn = jax.jit(lambda f, k, m: sc.sparse_to_dense(
+        f, k, m, final_shape))
+    timed('sparse_to_dense final (640k srch)', dense_fn, f3, k3, m3)
+
+
+if __name__ == '__main__':
+    main()
