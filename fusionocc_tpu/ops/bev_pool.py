@@ -43,6 +43,11 @@ class PoolingIndex(NamedTuple):
     ranks_feat: jnp.ndarray    # (P,) int32 into flattened feat rows
     ranks_bev: jnp.ndarray     # (P,) int32 voxel rank; invalid = num_voxels
     order_by_feat: jnp.ndarray  # (P,) int32 permutation sorting by ranks_feat
+    # (num_voxels+1,) int32 segment boundaries: bounds[v] = first sorted
+    # position with ranks_bev >= v.  Precomputed here so the per-frame pool
+    # does no binary search at all — geometry is static at eval, and even
+    # in-graph this hoists the search to prepare time.
+    bounds: jnp.ndarray
 
 
 def prepare_pooling_index(coor: jnp.ndarray, grid: GridConfig) -> PoolingIndex:
@@ -79,12 +84,16 @@ def prepare_pooling_index(coor: jnp.ndarray, grid: GridConfig) -> PoolingIndex:
     rank_s, rd_s, rf_s = jax.lax.sort(
         (rank, ranks_depth, ranks_feat), num_keys=1)
     order_by_feat = jnp.argsort(rf_s).astype(jnp.int32)
+    bounds = searchsorted(
+        rank_s, jnp.arange(num_voxels + 1, dtype=rank_s.dtype)
+    ).astype(jnp.int32)
     return PoolingIndex(rd_s.astype(jnp.int32), rf_s.astype(jnp.int32),
-                        rank_s.astype(jnp.int32), order_by_feat)
+                        rank_s.astype(jnp.int32), order_by_feat, bounds)
 
 
 def _sorted_segment_sum(vals: jnp.ndarray, seg: jnp.ndarray,
-                        num_segments: int) -> jnp.ndarray:
+                        num_segments: int,
+                        bounds: jnp.ndarray | None = None) -> jnp.ndarray:
     """Segmented sum for ascending ``seg`` ids — scatter-free.
 
     cumsum along the point axis, then gather the cumulative values at the
@@ -98,17 +107,18 @@ def _sorted_segment_sum(vals: jnp.ndarray, seg: jnp.ndarray,
     P, C = vals.shape
     csum = jnp.cumsum(vals.astype(jnp.float32), axis=0)
     csum_pad = jnp.concatenate([jnp.zeros((1, C), jnp.float32), csum], axis=0)
-    # bounds[v] = first sorted position whose segment id >= v
-    bounds = searchsorted(
-        seg, jnp.arange(num_segments + 1, dtype=seg.dtype))
+    if bounds is None:
+        # bounds[v] = first sorted position whose segment id >= v
+        bounds = searchsorted(
+            seg, jnp.arange(num_segments + 1, dtype=seg.dtype))
     return csum_pad[bounds[1:]] - csum_pad[bounds[:-1]]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def _bev_pool_flat(depth_flat: jnp.ndarray, feat_flat: jnp.ndarray,
                    ranks_depth: jnp.ndarray, ranks_feat: jnp.ndarray,
                    ranks_bev: jnp.ndarray, order_by_feat: jnp.ndarray,
-                   num_voxels: int) -> jnp.ndarray:
+                   bounds: jnp.ndarray, num_voxels: int) -> jnp.ndarray:
     """(num_voxels, C) pooled features from flat depth (Pd,) and feat (Pf, C)."""
     import os
     d = depth_flat[ranks_depth]
@@ -117,14 +127,14 @@ def _bev_pool_flat(depth_flat: jnp.ndarray, feat_flat: jnp.ndarray,
     from .pallas.segsum import BLK, boundary_segment_sum
     if P % BLK == 0 and not os.environ.get('FUSIONOCC_NO_PALLAS'):
         # fused product + single-pass chunked cumsum (Pallas kernel)
-        return boundary_segment_sum(d, f, ranks_bev, num_voxels)
-    return _sorted_segment_sum(d[:, None] * f, ranks_bev, num_voxels)
+        return boundary_segment_sum(d, f, ranks_bev, num_voxels, bounds)
+    return _sorted_segment_sum(d[:, None] * f, ranks_bev, num_voxels, bounds)
 
 
 def _bev_pool_fwd(depth_flat, feat_flat, ranks_depth, ranks_feat, ranks_bev,
-                  order_by_feat, num_voxels):
+                  order_by_feat, bounds, num_voxels):
     out = _bev_pool_flat(depth_flat, feat_flat, ranks_depth, ranks_feat,
-                         ranks_bev, order_by_feat, num_voxels)
+                         ranks_bev, order_by_feat, bounds, num_voxels)
     return out, (depth_flat, feat_flat, ranks_depth, ranks_feat, ranks_bev,
                  order_by_feat)
 
@@ -151,7 +161,7 @@ def _bev_pool_bwd(num_voxels, res, g):
     D = ranks_depth.shape[0] // Pf
     d_feat = contrib[order_by_feat].reshape(Pf, D, -1).sum(axis=1)
     return (d_depth.astype(depth_flat.dtype), d_feat.astype(feat_flat.dtype),
-            None, None, None, None)
+            None, None, None, None, None)
 
 
 _bev_pool_flat.defvjp(_bev_pool_fwd, _bev_pool_bwd)
@@ -177,7 +187,7 @@ def bev_pool(depth: jnp.ndarray, feat: jnp.ndarray, idx: PoolingIndex,
         depth.reshape(-1).astype(jnp.float32),
         feat.reshape(-1, C).astype(jnp.float32),
         idx.ranks_depth, idx.ranks_feat, idx.ranks_bev, idx.order_by_feat,
-        B * gz * gy * gx)
+        idx.bounds, B * gz * gy * gx)
     return out.reshape(B, gz, gy, gx, C)
 
 

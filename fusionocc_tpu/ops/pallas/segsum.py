@@ -75,11 +75,15 @@ def chunked_cumsum(depth_vals: jnp.ndarray, feat_rows: jnp.ndarray
 
 
 def boundary_segment_sum(depth_vals: jnp.ndarray, feat_rows: jnp.ndarray,
-                         seg: jnp.ndarray, num_segments: int) -> jnp.ndarray:
+                         seg: jnp.ndarray, num_segments: int,
+                         bounds: jnp.ndarray | None = None) -> jnp.ndarray:
     """Segmented sum of depth*feat over ascending ``seg`` via the kernel.
 
     Equivalent to ops.bev_pool._sorted_segment_sum(d[:,None]*f, seg, n) but
-    with the product+scan fused into one Pallas pass.
+    with the product+scan fused into one Pallas pass.  ``bounds`` (the
+    (num_segments+1,) segment boundaries) can be precomputed at pooling-index
+    prepare time — the geometry is static at eval — dropping the per-frame
+    binary search.
     """
     P, C = feat_rows.shape
     local, carry = chunked_cumsum(depth_vals, feat_rows)
@@ -90,6 +94,7 @@ def boundary_segment_sum(depth_vals: jnp.ndarray, feat_rows: jnp.ndarray,
         v = local[idx] + carry[idx // BLK]
         return jnp.where((pos > 0)[:, None], v, 0.0)
 
-    bounds = searchsorted(
-        seg, jnp.arange(num_segments + 1, dtype=seg.dtype))
+    if bounds is None:
+        bounds = searchsorted(
+            seg, jnp.arange(num_segments + 1, dtype=seg.dtype))
     return csum_at(bounds[1:]) - csum_at(bounds[:-1])

@@ -23,11 +23,12 @@ N = window**2 = 144 for window 12 (sublane-aligned: 144 % 8 == 0); C is a
 multiple of 128 for every Swin-B stage, so blocks are lane-aligned.
 
 Policy (measured on v5e, full-size 12-image Swin-B forward via
-tools/ab_swin_fused.py): fusing only the high-resolution stages
-(<= 8 heads; SwinConfig.fused_attn_max_heads) with one window per grid
-step runs 132 -> 74 ms median (~44% faster) and compiles FASTER than the
-unfused XLA lowering.  Fusing the late 16/32-head stages is a net loss —
-few windows, tiny score tensors, long per-head unrolls.
+tools/ab_swin_fused.py with device-resident inputs and a true barrier
+fetch): fusing only the high-resolution stages (<= 8 heads;
+SwinConfig.fused_attn_max_heads) with one window per grid step runs
+252 -> 235 ms (~7%) and cuts program compile time ~2x (84 -> 44 s).
+Fusing the late 16/32-head stages is a net loss — few windows, tiny
+score tensors, long per-head unrolls.
 
 Backward: custom VJP that recomputes probabilities with plain XLA ops
 (flash-style recompute; fp32) — training works, inference gets the full

