@@ -33,6 +33,13 @@ def main():
     ap.add_argument('--rayiou', action='store_true')
     args = ap.parse_args()
 
+    # Host-side scorer: force the CPU backend.  The preset JAX_PLATFORMS=axon
+    # cannot be overridden via env in this image, and per-op dispatch over
+    # the TPU tunnel makes tiny metric math pathologically slow (the config
+    # update is the only override that works; see CLAUDE.md).
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+
     from fusionocc_tpu.config import GridConfig
     from fusionocc_tpu.eval.metrics import OccupancyMetric, fscore
     from fusionocc_tpu.eval.ray_metrics import ray_iou, rays_from_points
