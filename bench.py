@@ -84,11 +84,13 @@ def main():
         lambda b: model.init({'params': jax.random.PRNGKey(0),
                               'dropout': jax.random.PRNGKey(1)},
                              b, train=False))(b0)
-    # the accelerate path: eval geometry is static, rank-sort once
-    pool_idx = jax.block_until_ready(jax.jit(
+    # the accelerate path: eval geometry is static, rank-sort once; trim to
+    # the valid frustum prefix (~half the points land in the grid)
+    from fusionocc_tpu.ops.bev_pool import trim_pooling_index
+    pool_idx = trim_pooling_index(jax.block_until_ready(jax.jit(
         lambda bb: frame_pooling_index(
             cfg, bb.sensor2keyego[:, 0], bb.intrins[:, 0],
-            bb.post_rots[:, 0], bb.post_trans[:, 0], bb.bda))(b0))
+            bb.post_rots[:, 0], bb.post_trans[:, 0], bb.bda))(b0)))
     state0 = model.apply(variables, 1, method=FusionOcc.init_streaming_state)
 
     # --- streaming clip throughput (headline) -----------------------------

@@ -91,6 +91,33 @@ def prepare_pooling_index(coor: jnp.ndarray, grid: GridConfig) -> PoolingIndex:
                         rank_s.astype(jnp.int32), order_by_feat, bounds)
 
 
+def trim_pooling_index(idx: PoolingIndex, block: int = 2048
+                       ) -> PoolingIndex:
+    """EVAL-ONLY: slice the index to its valid prefix (host-side).
+
+    Invalid frustum points carry the sentinel bev rank and sort last, so
+    ``bounds[-1]`` is the number of in-grid points; typically only ~half the
+    frustum lands inside the grid, and the pooling gathers/cumsum shrink
+    proportionally.  The length is rounded up to ``block`` (the Pallas
+    segsum block).  Each distinct geometry yields its own length -> its own
+    executable, which is the serving trade (one geometry per camera rig).
+
+    NOT for training: the sliced ``order_by_feat`` no longer covers every
+    (pixel, depth-bin) pair, so the feat-gradient reshape in the backward
+    would be wrong.  ``bounds`` is unchanged — every boundary position is
+    <= n_valid, so it indexes the trimmed arrays correctly.
+    """
+    import numpy as np
+    n_valid = int(np.asarray(idx.bounds[-1]))
+    P = idx.ranks_bev.shape[0]
+    n_pad = min(P, -(-n_valid // block) * block)
+    if n_pad >= P:
+        return idx
+    return PoolingIndex(idx.ranks_depth[:n_pad], idx.ranks_feat[:n_pad],
+                        idx.ranks_bev[:n_pad], idx.order_by_feat[:n_pad],
+                        idx.bounds)
+
+
 def _sorted_segment_sum(vals: jnp.ndarray, seg: jnp.ndarray,
                         num_segments: int,
                         bounds: jnp.ndarray | None = None) -> jnp.ndarray:

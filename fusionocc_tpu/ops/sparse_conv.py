@@ -53,20 +53,34 @@ def _lookup(in_keys: jnp.ndarray, queries: jnp.ndarray,
 def _build_index_one(out_coords, out_mask, in_keys,
                      shape_in: Tuple[int, int, int],
                      stride: int, padding: int) -> jnp.ndarray:
-    """Neighbor map (V_out, 27) for one sample; miss/invalid -> V_in."""
+    """Neighbor map (V_out, 27) for one sample; miss/invalid -> V_in.
+
+    For submanifold convs (stride 1, pad 1) the center tap is the voxel
+    itself, so only the 26 true neighbors go through the merge lookup and
+    the self row is spliced back in — 1/27 less sort volume per build.
+    """
     v_in = in_keys.shape[0]
-    offs = jnp.asarray(KERNEL_OFFSETS, jnp.int32)           # (27, 3)
+    v_out = out_coords.shape[0]
+    subm = stride == 1 and padding == 1
+    taps = [k for k in range(27) if not (subm and k == 13)]
+    offs = jnp.asarray(KERNEL_OFFSETS[taps], jnp.int32)     # (27|26, 3)
     # input position contributing to output o at kernel tap k:
     #   in = o * stride + k - padding
-    pos = (out_coords[:, None, :] * stride + offs[None] - padding)  # (V,27,3)
+    pos = (out_coords[:, None, :] * stride + offs[None] - padding)
     sx, sy, sz = shape_in
     ok = (out_mask[:, None]
           & (pos[..., 0] >= 0) & (pos[..., 0] < sx)
           & (pos[..., 1] >= 0) & (pos[..., 1] < sy)
           & (pos[..., 2] >= 0) & (pos[..., 2] < sz))
-    qkey = coords_to_key(pos, shape_in, ok)                 # (V, 27)
+    qkey = coords_to_key(pos, shape_in, ok)                 # (V, 27|26)
     nbr = _lookup(in_keys, qkey.reshape(-1), v_in)
-    return nbr.reshape(out_coords.shape[0], 27)
+    nbr = nbr.reshape(v_out, len(taps))
+    if subm:
+        self_idx = jnp.where(out_mask,
+                             jnp.arange(v_out, dtype=jnp.int32), v_in)
+        nbr = jnp.concatenate(
+            [nbr[:, :13], self_idx[:, None], nbr[:, 13:]], axis=1)
+    return nbr
 
 
 def build_subm_index(sp: SparseVoxels,

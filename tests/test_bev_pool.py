@@ -83,6 +83,16 @@ def test_full_pipeline_matches_dense_reference(batch):
                                rtol=1e-4, atol=1e-4)
     assert out.shape == (B, grid.size_z, grid.size_y, grid.size_x, 3)
 
+    # eval-only trimmed index (valid prefix, block-rounded): identical pool
+    from fusionocc_tpu.ops.bev_pool import trim_pooling_index
+    tidx = trim_pooling_index(idx, block=64)
+    n_valid = int(np.asarray(idx.bounds[-1]))
+    assert n_valid < idx.ranks_bev.shape[0]     # geometry has OOB points
+    assert tidx.ranks_bev.shape[0] <= idx.ranks_bev.shape[0]
+    out_t = bev_pool(depth, feat, tidx, grid)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out),
+                               rtol=1e-6, atol=1e-6)
+
 
 def test_grad_matches_dense_reference():
     grid = GridConfig(x=(-2, 2, 1.0), y=(-2, 2, 1.0), z=(-1, 1, 1.0),

@@ -112,6 +112,7 @@ def main():
     # the frustum rank sort runs once per distinct geometry and enters the
     # jitted step as an input.
     from fusionocc_tpu.models.fusion_occ import frame_pooling_index
+    from fusionocc_tpu.ops.bev_pool import trim_pooling_index
     import functools
     _pool_fn = jax.jit(functools.partial(frame_pooling_index, model_cfg))
     _pool_cache = {}
@@ -123,9 +124,10 @@ def main():
                np.asarray(batch.post_trans[:, 0]), np.asarray(batch.bda))
         key = b''.join(g.tobytes() for g in geo)
         if key not in _pool_cache:
-            _pool_cache[key] = jax.block_until_ready(_pool_fn(
-                batch.sensor2keyego[:, 0], batch.intrins[:, 0],
-                batch.post_rots[:, 0], batch.post_trans[:, 0], batch.bda))
+            _pool_cache[key] = trim_pooling_index(jax.block_until_ready(
+                _pool_fn(batch.sensor2keyego[:, 0], batch.intrins[:, 0],
+                         batch.post_rots[:, 0], batch.post_trans[:, 0],
+                         batch.bda)))
         return _pool_cache[key]
 
     if args.streaming:
