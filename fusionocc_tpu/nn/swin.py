@@ -92,6 +92,9 @@ class WindowMSA(nn.Module):
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
                        param_dtype=jnp.float32, name='qkv')(x)
         if self.fused and self.win_geom is not None:
+            # the kernel rebuilds the cyclic-shift mask internally from
+            # win_geom; a caller-supplied mask would be silently wrong
+            assert mask is None, 'fused window attention ignores mask'
             from ..ops.pallas.window_attn import fused_window_attention
             nWh, nWw, shift = self.win_geom
             q, k, v = (qkv[..., i * C:(i + 1) * C] for i in range(3))

@@ -91,7 +91,7 @@ def prepare_pooling_index(coor: jnp.ndarray, grid: GridConfig) -> PoolingIndex:
                         rank_s.astype(jnp.int32), order_by_feat, bounds)
 
 
-def trim_pooling_index(idx: PoolingIndex, block: int = 2048
+def trim_pooling_index(idx: PoolingIndex, block: int | None = None
                        ) -> PoolingIndex:
     """EVAL-ONLY: slice the index to its valid prefix (host-side).
 
@@ -108,6 +108,8 @@ def trim_pooling_index(idx: PoolingIndex, block: int = 2048
     <= n_valid, so it indexes the trimmed arrays correctly.
     """
     import numpy as np
+    if block is None:
+        from .pallas.segsum import BLK as block  # keep the Pallas fast path
     n_valid = int(np.asarray(idx.bounds[-1]))
     P = idx.ranks_bev.shape[0]
     n_pad = min(P, -(-n_valid // block) * block)

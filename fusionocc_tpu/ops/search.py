@@ -23,6 +23,14 @@ def lookup_rows(keys: jnp.ndarray, queries: jnp.ndarray,
                 sentinel: int) -> jnp.ndarray:
     """Row index of each query in sorted UNIQUE ``keys``; miss -> sentinel.
 
+    Contract for padded key arrays: ``keys`` may end in DUPLICATED sentinel
+    padding values (the sparse-voxel buffers do).  A query equal to that
+    padding value resolves to one of the padded rows — correctness then
+    requires the caller's feature rows at padded slots to be exactly zero
+    (true for ops.voxelize / ops.sparse_conv outputs, which mask invalid
+    rows to 0).  A caller with non-zero padding rows must pre-filter such
+    queries or it gets silent corruption.
+
     Equivalent to ``where(keys[searchsorted(keys, q)] == q, pos, sentinel)``
     but via ONE merge sort instead of jnp's method='sort' (two argsorts +
     two scatters) plus a validation gather:
