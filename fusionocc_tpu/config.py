@@ -99,9 +99,22 @@ class SparseEncoderConfig:
         (16, 16, 32), (32, 32, 48), (48, 48, 64), (64, 64))
     output_channels: int = 32
     voxel_size: Tuple[float, float, float] = (0.05, 0.05, 0.05)
-    # Padded capacities: points after range filtering; active voxels per stage.
-    point_capacity: int = 2 ** 18
+    # Padded capacities: points after range filtering; active voxels per
+    # stage.  A real 8-sweep nuScenes cloud after the reference's ring/20%
+    # subsampling and range filter is ~100-140k points (the beam-model
+    # synthetic matches); 2^17 holds that with margin and halves the
+    # voxelize sort vs 2^18.
+    point_capacity: int = 2 ** 17
     voxel_capacity: Tuple[int, ...] = (2 ** 17, 2 ** 16, 2 ** 15, 2 ** 14)
+    # Block-sparse tile path (ops/tile_sparse.py): 'tile' runs the encoder
+    # as dense MXU convs over halo'd ts^3 active tiles; 'coo' keeps the
+    # gather-GEMM COO path (the reference-shaped formulation).
+    backend: str = 'coo'   # flipped to 'tile' by full/tiny presets once
+                           # equivalence holds; 'coo' is the fallback
+    tile_size: int = 8
+    # Active-tile capacities per stage (~12.6k/7k/3k/1k measured on the
+    # beam-model cloud at stage 0..3 + dilation headroom).
+    tile_capacity: Tuple[int, ...] = (2 ** 14, 2 ** 13, 2 ** 12, 1250)
 
     def sparse_shape(self, grid: GridConfig) -> Tuple[int, int, int]:
         pcr = grid.point_cloud_range
@@ -233,7 +246,8 @@ def tiny_model_config(**overrides) -> ModelConfig:
         output_channels=8,
         voxel_size=(0.1, 0.1, 0.1),
         point_capacity=2048,
-        voxel_capacity=(1024, 512, 256, 128))
+        voxel_capacity=(1024, 512, 256, 128),
+        tile_capacity=(512, 256, 64, 16))
     vt = ViewTransformerConfig(
         in_channels=32, mid_channels=16, feature_channels=8,
         seg_num_classes=18, downsample=16, aspp_mid_channels=8)
