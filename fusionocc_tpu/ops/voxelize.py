@@ -48,10 +48,15 @@ def key_to_coords(keys: jnp.ndarray, shape: Tuple[int, int, int]) -> jnp.ndarray
 
 def _voxelize_one(points: jnp.ndarray, valid: jnp.ndarray,
                   pcr_min: jnp.ndarray, voxel_size: jnp.ndarray,
-                  shape: Tuple[int, int, int], capacity: int):
-    """Single-sample voxelization. points: (P, C); valid: (P,)."""
+                  shape: Tuple[int, int, int], capacity: int,
+                  tile_size: int | None = None):
+    """Single-sample voxelization. points: (P, C); valid: (P,).
+
+    With ``tile_size``, keys are TILE-MAJOR (ops.tile_sparse) so the sorted
+    voxel list is tile-contiguous; the voxel set and features are identical
+    either way (both key functions are bijections on grid coords).
+    """
     sx, sy, sz = shape
-    sentinel = sx * sy * sz
     coord = jnp.floor(
         (points[:, :3].astype(jnp.float32) - pcr_min) / voxel_size
     ).astype(jnp.int32)
@@ -59,7 +64,14 @@ def _voxelize_one(points: jnp.ndarray, valid: jnp.ndarray,
               (coord[:, 1] >= 0) & (coord[:, 1] < sy) &
               (coord[:, 2] >= 0) & (coord[:, 2] < sz))
     ok = valid & inside
-    key = coords_to_key(coord, shape, ok)
+    if tile_size is None:
+        sentinel = sx * sy * sz
+        key = coords_to_key(coord, shape, ok)
+    else:
+        from .tile_sparse import tile_grid, tile_major_key
+        tg = tile_grid(shape, tile_size)
+        sentinel = tg[0] * tg[1] * tg[2] * tile_size ** 3
+        key = tile_major_key(coord, shape, tile_size, ok)
 
     order = jnp.argsort(key)
     key_s = key[order]
@@ -87,19 +99,31 @@ def _voxelize_one(points: jnp.ndarray, valid: jnp.ndarray,
 
     vkeys = key_s[jnp.minimum(bounds[:-1], P - 1)]
     vkeys = jnp.where(vmask, vkeys, sentinel)
-    vcoords = jnp.where(vmask[:, None], key_to_coords(vkeys, shape), 0)
+    if tile_size is None:
+        vcoords = key_to_coords(vkeys, shape)
+    else:
+        cells = tile_size ** 3
+        tc = key_to_coords(vkeys // cells, tg) * tile_size
+        oc = key_to_coords(vkeys % cells,
+                           (tile_size, tile_size, tile_size))
+        vcoords = tc + oc
+    vcoords = jnp.where(vmask[:, None], vcoords, 0)
     feats = jnp.where(vmask[:, None], feats, 0.0)
     return feats, vcoords, vkeys, vmask
 
 
 def voxelize_mean(points: jnp.ndarray, valid: jnp.ndarray,
                   point_cloud_range, voxel_size,
-                  shape: Tuple[int, int, int], capacity: int) -> SparseVoxels:
+                  shape: Tuple[int, int, int], capacity: int,
+                  tile_size: int | None = None) -> SparseVoxels:
     """Batched mean voxelization.
 
     Args:
       points: (B, P, C) padded point clouds (first 3 dims are ego xyz).
       valid:  (B, P) bool.
+      tile_size: if set, voxel keys are tile-major (for ops.tile_sparse);
+        the voxel set/features/coords are identical, only the sort order
+        and key encoding change.
     Returns SparseVoxels with per-sample capacity ``capacity``; voxel features
     are the mean of the full point vectors (like the reference's
     scatter_mean over the 5-dim points).
@@ -107,6 +131,7 @@ def voxelize_mean(points: jnp.ndarray, valid: jnp.ndarray,
     pcr_min = jnp.asarray(point_cloud_range[:3], jnp.float32)
     vsize = jnp.asarray(voxel_size, jnp.float32)
     fn = jax.vmap(
-        lambda p, v: _voxelize_one(p, v, pcr_min, vsize, shape, capacity))
+        lambda p, v: _voxelize_one(p, v, pcr_min, vsize, shape, capacity,
+                                   tile_size))
     feats, coords, keys, mask = fn(points, valid)
     return SparseVoxels(feats, coords, keys, mask)
