@@ -27,16 +27,27 @@ from ..nn.layers import MaskedBatchNorm
 from ..ops.sparse_conv import (build_strided_index, build_subm_index,
                                sparse_conv1x1_apply, sparse_conv_apply,
                                sparse_to_dense)
+from ..ops.tile_sparse import (TileVoxels, neighbor_slots, tile_grid,
+                               tile_strided_apply, tile_strided_prepare,
+                               tile_subm_conv, tiles_from_sorted,
+                               tiles_to_dense)
 from ..ops.voxelize import SparseVoxels, voxelize_mean
 
 Dtype = Any
 
 
 class SubMConvBN(nn.Module):
-    """Submanifold 3x3x3 conv + masked BN + ReLU over a COO voxel set."""
+    """Submanifold 3x3x3 conv + masked BN + ReLU over a sparse voxel set.
+
+    Two backends with the SAME parameter tree (kernel (27, Cin, Cout) in
+    KERNEL_OFFSETS row-major order + MaskedBatchNorm), so checkpoints are
+    backend-interchangeable: 'coo' gather-GEMM over a COO buffer, 'tile'
+    one dense MXU conv over halo'd active tiles (ops/tile_sparse.py).
+    """
     features: int
     norm: bool = True
     act: bool = True
+    tile: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -44,7 +55,10 @@ class SubMConvBN(nn.Module):
         cin = feats.shape[-1]
         w = self.param('kernel', nn.initializers.he_normal(),
                        (27, cin, self.features), jnp.float32)
-        y = sparse_conv_apply(feats, mask, nbr_idx, w)
+        if self.tile:
+            y = tile_subm_conv(feats, mask, nbr_idx, w)
+        else:
+            y = sparse_conv_apply(feats, mask, nbr_idx, w)
         if self.norm:
             y = MaskedBatchNorm(dtype=self.dtype)(y, mask, train=train)
         if self.act:
@@ -53,8 +67,14 @@ class SubMConvBN(nn.Module):
 
 
 class SparseConvBNStride2(nn.Module):
-    """Strided sparse conv (new active set) + masked BN + ReLU."""
+    """Strided sparse conv (new active set) + masked BN + ReLU.
+
+    ``nbr_idx`` is the COO (B, V_out, 27) neighbor map, or the
+    StridedGeom when ``tile``; ``out_mask`` is the output active mask in
+    the matching layout.  Parameter tree is backend-independent.
+    """
     features: int
+    tile: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -62,7 +82,10 @@ class SparseConvBNStride2(nn.Module):
         cin = feats.shape[-1]
         w = self.param('kernel', nn.initializers.he_normal(),
                        (27, cin, self.features), jnp.float32)
-        y = sparse_conv_apply(feats, out_mask, nbr_idx, w)
+        if self.tile:
+            y = tile_strided_apply(feats, nbr_idx, w)
+        else:
+            y = sparse_conv_apply(feats, out_mask, nbr_idx, w)
         y = MaskedBatchNorm(dtype=self.dtype)(y, out_mask, train=train)
         return nn.relu(y)
 
@@ -80,15 +103,20 @@ class SparseEncoder(nn.Module):
         shape = cfg.sparse_shape(self.grid)
         pcr = self.grid.point_cloud_range
 
+        use_tile = cfg.backend == 'tile'
         sp = voxelize_mean(
             jax.lax.stop_gradient(points.astype(jnp.float32)),
-            points_mask, pcr, cfg.voxel_size, shape, cfg.voxel_capacity[0])
+            points_mask, pcr, cfg.voxel_size, shape, cfg.voxel_capacity[0],
+            tile_size=cfg.tile_size if use_tile else None)
         feats = sp.feats.astype(self.dtype)
 
         # conv_input: 1x1 SubM, conv only (lidar_encoder.py:65-74)
         w_in = self.param('conv_input_kernel', nn.initializers.he_normal(),
                           (cfg.in_channels, cfg.base_channels), jnp.float32)
         feats = sparse_conv1x1_apply(feats, sp.mask, w_in)
+
+        if use_tile:
+            return self._tile_stages(feats, sp, shape, train)
 
         cur = SparseVoxels(feats, sp.coords, sp.keys, sp.mask)
         cur_shape = shape
@@ -122,4 +150,50 @@ class SparseEncoder(nn.Module):
         dense = sparse_to_dense(f, cur.keys, cur.mask, cur_shape)
         # (B, X, Y, Z, C) -> (B, Z, Y, X, C): matches the image voxel layout
         # (the reference permutes to (B, C, z, y, x), fusion_occ.py:795)
+        return jnp.transpose(dense, (0, 3, 2, 1, 4))
+
+    def _tile_stages(self, feats, sp: SparseVoxels, shape, train: bool):
+        """Block-sparse tile backend (ops/tile_sparse.py): stages as dense
+        MXU convs over halo'd active ts^3 tiles.  Same parameter tree as the
+        COO path (module names + kernel layouts match), so the two backends
+        are checkpoint-interchangeable; equivalence is tested in
+        tests/test_tile_sparse.py."""
+        cfg = self.cfg
+        ts = cfg.tile_size
+        tv = tiles_from_sorted(feats, sp.keys, sp.mask, shape,
+                               cfg.tile_capacity[0], ts)
+        cur_shape = shape
+        num_stages = len(cfg.encoder_channels)
+        for i, blocks in enumerate(cfg.encoder_channels):
+            nbr = neighbor_slots(tv, tile_grid(cur_shape, ts))
+            n_subm = len(blocks) - 1 if i < num_stages - 1 else len(blocks)
+            f = tv.feats
+            for j in range(n_subm):
+                f = SubMConvBN(blocks[j], tile=True, dtype=self.dtype,
+                               name=f'stage{i}_subm{j}')(
+                    f, tv.mask, nbr, train=train)
+            if i < num_stages - 1:
+                geom, out_shape = tile_strided_prepare(
+                    tv, cur_shape, cfg.tile_capacity[i + 1])
+                f = SparseConvBNStride2(blocks[-1], tile=True,
+                                        dtype=self.dtype,
+                                        name=f'stage{i}_down')(
+                    f, geom.out_mask, geom, train=train)
+                tv = TileVoxels(f, geom.out_mask, geom.tile_coords,
+                                geom.tile_keys, geom.tile_mask, geom.table)
+                cur_shape = out_shape
+            else:
+                tv = tv._replace(feats=f)
+
+        # conv_out: 1x1 SubM, conv only (lidar_encoder.py:80-89)
+        w_out = self.param('conv_out_kernel', nn.initializers.he_normal(),
+                           (tv.feats.shape[-1], cfg.output_channels),
+                           jnp.float32)
+        f = jnp.einsum('btxyzc,cd->btxyzd', tv.feats,
+                       w_out.astype(tv.feats.dtype),
+                       preferred_element_type=jnp.float32
+                       ).astype(tv.feats.dtype)
+        f = jnp.where(tv.mask[..., None], f, 0)
+
+        dense = tiles_to_dense(tv._replace(feats=f), cur_shape)
         return jnp.transpose(dense, (0, 3, 2, 1, 4))

@@ -39,11 +39,13 @@ class BatchNorm(nn.Module):
 
 
 class MaskedBatchNorm(nn.Module):
-    """BatchNorm over valid entries of (B, V, C) sparse voxel features.
+    """BatchNorm over valid entries of (..., C) sparse voxel features.
 
     Equivalent of the BN1d inside spconv conv modules
     (lidar_encoder.py:40 norm_cfg BN1d eps 1e-3 momentum 0.01): statistics are
-    computed over all *active* voxels in the batch.
+    computed over all *active* voxels in the batch.  Accepts any leading
+    shape (COO (B, V, C) or tile (B, T+1, ts, ts, ts, C)) with a matching
+    mask over the leading dims.
     """
     momentum: float = 0.99
     epsilon: float = 1e-3
@@ -61,10 +63,11 @@ class MaskedBatchNorm(nn.Module):
 
         xf = x.astype(jnp.float32)
         if train:
+            red = tuple(range(xf.ndim - 1))
             m = mask.astype(jnp.float32)[..., None]
             cnt = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(xf * m, axis=(0, 1)) / cnt
-            var = jnp.sum(jnp.square(xf - mean) * m, axis=(0, 1)) / cnt
+            mean = jnp.sum(xf * m, axis=red) / cnt
+            var = jnp.sum(jnp.square(xf - mean) * m, axis=red) / cnt
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1 - self.momentum) * mean)

@@ -222,41 +222,67 @@ def _conv3d_valid(x, weight, stride: int):
     return out.astype(x.dtype).reshape(lead + out.shape[1:])
 
 
-def tile_subm_conv(tv: TileVoxels, nbr: jnp.ndarray, weight: jnp.ndarray,
+def tile_subm_conv(feats: jnp.ndarray, mask: jnp.ndarray, nbr: jnp.ndarray,
+                   weight: jnp.ndarray,
                    bias: jnp.ndarray | None = None) -> jnp.ndarray:
     """Submanifold 3^3 conv: (B, T+1, ts,ts,ts, Cin) -> same shape, Cout.
 
     Output restricted to the active set (zeros elsewhere), like spconv
-    SubMConv3d.  ``nbr`` from neighbor_slots, shared across a stage
+    SubMConv3d.  ``mask`` is the (B, T+1, ts,ts,ts) active-cell mask;
+    ``nbr`` (B, T, 27) from neighbor_slots, shared across a stage
     (the reference's ``indice_key`` sharing, lidar_encoder.py:60-79).
     """
-    B, T1 = tv.feats.shape[:2]
-    ts = tv.feats.shape[2]
-    halo = gather_halo(tv.feats, nbr, ts, center=tv.feats[:, :T1 - 1])
+    B, T1 = feats.shape[:2]
+    ts = feats.shape[2]
+    halo = gather_halo(feats, nbr, ts, center=feats[:, :T1 - 1])
     out = _conv3d_valid(halo, weight, 1)          # (B, T, ts,ts,ts, Cout)
     if bias is not None:
         out = out + bias.astype(out.dtype)
-    out = jnp.where(tv.mask[:, :T1 - 1, ..., None], out, 0)
+    out = jnp.where(mask[:, :T1 - 1, ..., None], out, 0)
     pad = jnp.zeros((B, 1) + out.shape[2:], out.dtype)
     return jnp.concatenate([out, pad], axis=1)
 
 
-def tile_strided_conv(tv: TileVoxels, shape_in, capacity_out: int,
-                      weight: jnp.ndarray) -> Tuple[TileVoxels, Tuple]:
-    """Strided (stride-2, k3, p1) sparse conv: fine tiles -> coarse tiles.
+class StridedGeom(NamedTuple):
+    """Weight-independent geometry of one stride-2 sparse conv.
 
-    Returns (TileVoxels at shape_out, shape_out).  The coarse active-tile
-    set is exact-or-superset (extra tiles carry all-False masks); the
-    active CELL mask is exact: dilate(input active, 1) ∘ stride-2, i.e.
-    spconv's any-active-in-receptive-field rule.
+    Built once per stage from the active set alone (tile_strided_prepare);
+    tile_strided_apply then runs the parameterized conv.  ``nbr`` indexes
+    the 27-neighborhoods of each coarse tile's 8 fine children (inactive
+    children included — their outputs can still be driven by active halo
+    neighbors, spconv's any-active-in-receptive-field rule)."""
+    nbr: jnp.ndarray          # (B, T2*8, 27) fine-tile slots
+    out_mask: jnp.ndarray     # (B, T2+1, ts,ts,ts) active output cells
+    tile_coords: jnp.ndarray  # (B, T2, 3) coarse tile coords
+    tile_keys: jnp.ndarray    # (B, T2)
+    tile_mask: jnp.ndarray    # (B, T2)
+    table: jnp.ndarray        # (B, ntile_out+1)
+
+
+def _regroup_children(a: jnp.ndarray, ts: int) -> jnp.ndarray:
+    """(B, T2*8, hs,hs,hs, C) children (2,2,2 row-major) -> (B,T2,ts,ts,ts,C)."""
+    hs = ts // 2
+    B = a.shape[0]
+    T2 = a.shape[1] // 8
+    C = a.shape[-1]
+    a = a.reshape(B, T2, 2, 2, 2, hs, hs, hs, C)
+    a = jnp.transpose(a, (0, 1, 2, 5, 3, 6, 4, 7, 8))
+    return a.reshape(B, T2, ts, ts, ts, C)
+
+
+def tile_strided_prepare(tv: TileVoxels, shape_in, capacity_out: int
+                         ) -> Tuple[StridedGeom, Tuple[int, int, int]]:
+    """Geometry of a stride-2 (k3, p1) sparse conv: fine -> coarse tiles.
+
+    The coarse active-TILE set is exact-or-superset (extra tiles carry
+    all-False masks); the active CELL mask is exact:
+    dilate(input active, 1) ∘ stride-2 ∩ bounds — spconv's rule.
     """
     from .sparse_conv import out_shape_strided
     ts = tv.feats.shape[2]
     assert ts % 2 == 0
     hs = ts // 2
-    cells = ts ** 3
     B = tv.feats.shape[0]
-    cout = weight.shape[-1]
     shape_out = out_shape_strided(shape_in)
     tg_in = tile_grid(shape_in, ts)
     tg_out = tile_grid(shape_out, ts)
@@ -284,14 +310,9 @@ def tile_strided_conv(tv: TileVoxels, shape_in, capacity_out: int,
     T2 = nbr.shape[1]
     nbr = nbr.reshape(B, T2 * 8, 27)
 
-    # 3. halo gather with the active mask as an extra channel
-    bufm = jnp.concatenate(
-        [tv.feats, tv.mask[..., None].astype(tv.feats.dtype)], axis=-1)
-    halo = gather_halo(bufm, nbr, ts)   # (B, T2*8, ts+2,ts+2,ts+2, C+1)
-
-    # 4. stride-2 conv on features; 3^3 stride-2 max-pool on the mask
-    out = _conv3d_valid(halo[..., :-1], weight, 2)   # (B, T2*8, hs,hs,hs, Co)
-    hm = halo[..., -1].reshape((-1,) + halo.shape[2:5])
+    # 3. output active-cell mask: 3^3 stride-2 max-pool over the mask halo
+    mh = gather_halo(tv.mask[..., None].astype(jnp.float32), nbr, ts)
+    hm = mh[..., 0].reshape((-1,) + mh.shape[2:5])
     mout = jax.lax.reduce_window(
         hm, -jnp.inf, jax.lax.max, (1, 3, 3, 3), (1, 2, 2, 2), 'VALID')
     mout = (mout > 0).reshape(B, T2 * 8, hs, hs, hs)
@@ -306,23 +327,12 @@ def tile_strided_conv(tv: TileVoxels, shape_in, capacity_out: int,
     inb = (bx[..., :, None, None] & by[..., None, :, None]
            & bz[..., None, None, :])                      # (B,T2,8,hs,hs,hs)
     mout = mout & inb.reshape(B, T2 * 8, hs, hs, hs)
-    out = jnp.where(mout[..., None], out, 0)
 
-    # 5. regroup children (2,2,2 row-major) into coarse ts^3 blocks
-    def regroup(a):
-        C = a.shape[-1]
-        a = a.reshape(B, T2, 2, 2, 2, hs, hs, hs, C)
-        a = jnp.transpose(a, (0, 1, 2, 5, 3, 6, 4, 7, 8))
-        return a.reshape(B, T2, ts, ts, ts, C)
+    out_mask = _regroup_children(mout[..., None], ts)[..., 0]
+    out_mask = jnp.concatenate(
+        [out_mask, jnp.zeros((B, 1, ts, ts, ts), bool)], axis=1)
 
-    ofeats = regroup(out)
-    omask_cells = regroup(mout[..., None].astype(jnp.int32))[..., 0] > 0
-    pad_f = jnp.zeros((B, 1, ts, ts, ts, cout), ofeats.dtype)
-    pad_m = jnp.zeros((B, 1, ts, ts, ts), bool)
-    ofeats = jnp.concatenate([ofeats, pad_f], axis=1)
-    omask_cells = jnp.concatenate([omask_cells, pad_m], axis=1)
-
-    # 6. coarse table
+    # 4. coarse table
     ntile_out = tg_out[0] * tg_out[1] * tg_out[2]
 
     def mk_table(keys_, mask_):
@@ -332,7 +342,29 @@ def tile_strided_conv(tv: TileVoxels, shape_in, capacity_out: int,
                       capacity_out))
 
     table = jax.vmap(mk_table)(okeys, omask)
-    return TileVoxels(ofeats, omask_cells, oc, okeys, omask, table), shape_out
+    return StridedGeom(nbr, out_mask, oc, okeys, omask, table), shape_out
+
+
+def tile_strided_apply(feats: jnp.ndarray, geom: StridedGeom,
+                       weight: jnp.ndarray) -> jnp.ndarray:
+    """Run the stride-2 conv: (B, T1_in, ts,ts,ts, Cin) -> (B, T2+1, ..., Co)."""
+    ts = feats.shape[2]
+    halo = gather_halo(feats, geom.nbr, ts)  # (B, T2*8, ts+2,.., Cin)
+    out = _conv3d_valid(halo, weight, 2)     # (B, T2*8, hs,hs,hs, Co)
+    out = _regroup_children(out, ts)         # (B, T2, ts,ts,ts, Co)
+    B = out.shape[0]
+    pad = jnp.zeros((B, 1) + out.shape[2:], out.dtype)
+    out = jnp.concatenate([out, pad], axis=1)
+    return jnp.where(geom.out_mask[..., None], out, 0)
+
+
+def tile_strided_conv(tv: TileVoxels, shape_in, capacity_out: int,
+                      weight: jnp.ndarray) -> Tuple[TileVoxels, Tuple]:
+    """Convenience: prepare + apply -> (TileVoxels at shape_out, shape_out)."""
+    geom, shape_out = tile_strided_prepare(tv, shape_in, capacity_out)
+    ofeats = tile_strided_apply(tv.feats, geom, weight)
+    return TileVoxels(ofeats, geom.out_mask, geom.tile_coords,
+                      geom.tile_keys, geom.tile_mask, geom.table), shape_out
 
 
 def tile_conv1x1(tv: TileVoxels, weight: jnp.ndarray,
