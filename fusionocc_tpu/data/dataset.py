@@ -47,7 +47,12 @@ class NuScenesOccDataset:
         self.img_seg_dir = img_seg_dir
         self.adj_cam_ids = list(range(*adj_cam))
         self.adj_lidar_ids = list(range(*adj_lidar))
-        self.rng = np.random.RandomState(seed)
+        # RNG is derived per (seed, epoch, index) inside __getitem__ — a
+        # shared RandomState would race under the threaded loader and make
+        # augmentations depend on worker interleaving.  Reference analog:
+        # per-worker seeding via DistSamplerSeedHook (configs/fusion_occ.py:412).
+        self.seed = seed
+        self.epoch = 0
         with open(ann_file, 'rb') as f:
             data = pickle.load(f)
         infos = data['data_list'] if 'data_list' in data else data['infos']
@@ -55,6 +60,15 @@ class NuScenesOccDataset:
 
     def __len__(self) -> int:
         return len(self.infos)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Vary augmentations across epochs (DistSamplerSeedHook semantics)."""
+        self.epoch = int(epoch)
+
+    def _sample_rng(self, index: int) -> np.random.RandomState:
+        """Thread-safe deterministic per-sample RNG: own the state locally."""
+        mix = np.random.SeedSequence([self.seed, self.epoch, int(index)])
+        return np.random.RandomState(mix.generate_state(1)[0])
 
     # -- adjacency (scene-bounded) -----------------------------------------
     def _adj_info(self, index: int, offset: int) -> Dict:
@@ -80,7 +94,8 @@ class NuScenesOccDataset:
                           cam_info['ego2global_translation'])
         return s2e, e2g
 
-    def _load_camera_frames(self, infos: List[Dict]):
+    def _load_camera_frames(self, infos: List[Dict],
+                            rng: np.random.RandomState):
         """All frames x cams: images, seg labels, poses, intrinsics, aug."""
         from PIL import Image
         cfg = self.cfg
@@ -106,7 +121,7 @@ class NuScenesOccDataset:
                 if f == 0:
                     augs.append(pl.sample_image_aug(
                         (img.size[1], img.size[0]), cfg.input_size,
-                        self.train, self.rng))
+                        self.train, rng))
                 aug = augs[n]
                 timg = pl.transform_image(img, aug)
                 imgs[f, n] = pl.normalize_image(np.asarray(timg))
@@ -132,7 +147,8 @@ class NuScenesOccDataset:
         return np.asarray(out, np.int32)
 
     # -- lidar --------------------------------------------------------------
-    def _load_points(self, index: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def _load_points(self, index: int, rng: np.random.RandomState
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         info = self.infos[index]
         l2e = pose_matrix(info['lidar2ego_rotation'],
                           info['lidar2ego_translation'])
@@ -150,17 +166,18 @@ class NuScenesOccDataset:
                                ai['ego2global_translation'])
             sweeps.append((pl.load_points_bin(self._path(ai['lidar_path'])),
                            al2e, ae2g))
-        fused = pl.fuse_adjacent_sweeps(curr, l2e, e2g, sweeps, self.rng)
+        fused = pl.fuse_adjacent_sweeps(curr, l2e, e2g, sweeps, rng)
         return fused, curr, l2e
 
     # -- main ---------------------------------------------------------------
     def __getitem__(self, index: int) -> Dict:
         cfg = self.cfg
         info = self.infos[index]
+        rng = self._sample_rng(index)
         cam_infos = [info] + [self._adj_info(index, o)
                               for o in self.adj_cam_ids]
         (imgs, segs, s2e, e2g, intrins, post_rots, post_trans,
-         augs) = self._load_camera_frames(cam_infos)
+         augs) = self._load_camera_frames(cam_infos, rng)
         s2k = sensor2keyego_chain(s2e, e2g)
 
         # occupancy GT
@@ -176,12 +193,12 @@ class NuScenesOccDataset:
                 cfg.mask_mode).astype(bool)
 
         # points
-        fused, curr_points, l2e = self._load_points(index)
+        fused, curr_points, l2e = self._load_points(index, rng)
         ego_pts = pl.points_lidar_to_ego(fused, l2e)
         ego_pts = pl.filter_points_range(ego_pts, cfg.grid.point_cloud_range)
 
         # BDA
-        bda, _, _, fdx, fdy = pl.sample_bda(self.rng, self.train)
+        bda, _, _, fdx, fdy = pl.sample_bda(rng, self.train)
         ego_pts = pl.apply_bda_to_points(ego_pts, bda)
         voxel_semantics, (mask_camera, mask_lidar) = pl.apply_bda_to_voxels(
             voxel_semantics, [mask_camera, mask_lidar], fdx, fdy)
@@ -248,13 +265,16 @@ def data_loader(dataset: NuScenesOccDataset, batch_size: int,
         order = order[host_id::host_count]
 
     def fetch(j):
+        j0 = int(j)
         for attempt in range(max_resample):
             try:
                 return dataset[int(j)]
             except Exception as e:  # noqa: BLE001 — corrupt sample: resample
                 print(f'[data] sample {j} failed ({type(e).__name__}: {e}); '
                       f'resampling', flush=True)
-                j = rng.randint(0, len(dataset))
+                # thread-local deterministic resample (shared rng would race)
+                ss = np.random.SeedSequence([seed, j0, attempt])
+                j = int(ss.generate_state(1)[0] % len(dataset))
         raise RuntimeError(f'{max_resample} consecutive sample failures')
 
     groups = []

@@ -6,9 +6,13 @@ confusion matrix accumulated over camera-masked voxels, per-class
 IoU = diag / (row + col - diag), mIoU = nanmean over classes 0..16 (the
 ``free`` class 17 is excluded from the mean).
 
-The confusion matrix is a device array; under a data-sharded mesh the
-segment_sum reduces globally, which replaces the reference's CPU result
-gather (occupancy_metric.py:28-35).
+Distributed evaluation (replacing the reference's CPU result gather,
+occupancy_metric.py:28-35) happens at two levels: within one process, a
+batch sharded over a mesh's 'data' axis reduces globally inside the jitted
+``confusion_matrix`` (the replicated output makes XLA insert the
+cross-device reduction — verified in tests/test_sharding.py); across
+processes, ``OccupancyMetric.compute`` all-gathers the per-host histograms
+and sums them before computing mIoU.
 """
 from __future__ import annotations
 
@@ -111,5 +115,14 @@ class OccupancyMetric:
                              jnp.asarray(mask), self.num_classes))
         self.count += int(np.shape(gt)[0]) if np.ndim(gt) == 4 else 1
 
+    def reduced_hist(self) -> np.ndarray:
+        """Histogram summed across hosts (the reference's collect_results
+        CPU gather, occupancy_metric.py:28-35).  No-op single-process."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(
+                jnp.asarray(self.hist))).sum(axis=0)
+        return self.hist
+
     def compute(self) -> Dict[str, float]:
-        return miou_from_hist(self.hist)
+        return miou_from_hist(self.reduced_hist())

@@ -27,10 +27,10 @@ from ..nn.layers import MaskedBatchNorm
 from ..ops.sparse_conv import (build_strided_index, build_subm_index,
                                sparse_conv1x1_apply, sparse_conv_apply,
                                sparse_to_dense)
-from ..ops.tile_sparse import (TileVoxels, neighbor_slots, tile_grid,
-                               tile_strided_apply, tile_strided_prepare,
-                               tile_subm_conv, tiles_from_sorted,
-                               tiles_to_dense)
+from ..ops.tile_sparse import (TileVoxels, neighbor_slots, tile_conv1x1,
+                               tile_grid, tile_strided_apply,
+                               tile_strided_prepare, tile_subm_conv,
+                               tiles_from_sorted, tiles_to_dense)
 from ..ops.voxelize import SparseVoxels, voxelize_mean
 
 Dtype = Any
@@ -52,7 +52,9 @@ class SubMConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, feats, mask, nbr_idx, train: bool = False):
-        cin = feats.shape[-1]
+        # z-folded tile feats carry ts*C lanes; the param stays (27, C, Cout)
+        cin = feats.shape[-1] // feats.shape[-2] if self.tile \
+            else feats.shape[-1]
         w = self.param('kernel', nn.initializers.he_normal(),
                        (27, cin, self.features), jnp.float32)
         if self.tile:
@@ -79,7 +81,8 @@ class SparseConvBNStride2(nn.Module):
 
     @nn.compact
     def __call__(self, feats, out_mask, nbr_idx, train: bool = False):
-        cin = feats.shape[-1]
+        cin = feats.shape[-1] // feats.shape[-2] if self.tile \
+            else feats.shape[-1]
         w = self.param('kernel', nn.initializers.he_normal(),
                        (27, cin, self.features), jnp.float32)
         if self.tile:
@@ -185,15 +188,12 @@ class SparseEncoder(nn.Module):
             else:
                 tv = tv._replace(feats=f)
 
-        # conv_out: 1x1 SubM, conv only (lidar_encoder.py:80-89)
+        # conv_out: 1x1 SubM, conv only (lidar_encoder.py:80-89) — in
+        # z-folded form a block-diagonal kron(I_ts, W) lane matmul
         w_out = self.param('conv_out_kernel', nn.initializers.he_normal(),
-                           (tv.feats.shape[-1], cfg.output_channels),
+                           (tv.feats.shape[-1] // ts, cfg.output_channels),
                            jnp.float32)
-        f = jnp.einsum('btxyzc,cd->btxyzd', tv.feats,
-                       w_out.astype(tv.feats.dtype),
-                       preferred_element_type=jnp.float32
-                       ).astype(tv.feats.dtype)
-        f = jnp.where(tv.mask[..., None], f, 0)
+        f = tile_conv1x1(tv, w_out)
 
         dense = tiles_to_dense(tv._replace(feats=f), cur_shape)
         return jnp.transpose(dense, (0, 3, 2, 1, 4))

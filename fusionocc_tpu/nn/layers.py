@@ -18,6 +18,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Dtype = Any
 
@@ -43,9 +44,15 @@ class MaskedBatchNorm(nn.Module):
 
     Equivalent of the BN1d inside spconv conv modules
     (lidar_encoder.py:40 norm_cfg BN1d eps 1e-3 momentum 0.01): statistics are
-    computed over all *active* voxels in the batch.  Accepts any leading
-    shape (COO (B, V, C) or tile (B, T+1, ts, ts, ts, C)) with a matching
-    mask over the leading dims.
+    computed over all *active* voxels in the batch.  Two layouts share the
+    same (C,) parameters (backend-interchangeable checkpoints):
+
+      - COO: x (..., C) with mask over the leading dims
+        (x.ndim == mask.ndim + 1).
+      - z-folded tiles (ops/tile_sparse.py): x (B, T+1, ts, ts, ts*C) with
+        the flat cell mask (B, T+1, ts^3) (x.ndim == mask.ndim + 2).  Lane
+        sums collapse to per-channel sums via a ``(ts*C, C)`` 0/1 matmul so
+        statistics never materialize the padding-hostile unfolded layout.
     """
     momentum: float = 0.99
     epsilon: float = 1e-3
@@ -53,7 +60,12 @@ class MaskedBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, train: bool = False):
-        C = x.shape[-1]
+        folded = x.ndim == mask.ndim + 2
+        if folded:
+            ts = x.shape[-2]
+            C = x.shape[-1] // ts
+        else:
+            ts, C = 1, x.shape[-1]
         ra_mean = self.variable('batch_stats', 'mean',
                                 lambda: jnp.zeros((C,), jnp.float32))
         ra_var = self.variable('batch_stats', 'var',
@@ -62,12 +74,29 @@ class MaskedBatchNorm(nn.Module):
         bias = self.param('bias', nn.initializers.zeros, (C,), jnp.float32)
 
         xf = x.astype(jnp.float32)
-        if train:
+        if folded:
+            from ..ops.tile_sparse import expand_cell_mask
+            m = expand_cell_mask(mask, ts, C, jnp.float32)
+            collapse = jnp.asarray(
+                np.tile(np.eye(C, dtype=np.float32), (ts, 1)))
             red = tuple(range(xf.ndim - 1))
+
+            def ch_sum(v):  # (..., ts*C) -> (C,) per-channel masked sum
+                return jnp.einsum('...l,lc->c', v,
+                                  collapse,
+                                  preferred_element_type=jnp.float32)
+        else:
             m = mask.astype(jnp.float32)[..., None]
-            cnt = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(xf * m, axis=red) / cnt
-            var = jnp.sum(jnp.square(xf - mean) * m, axis=red) / cnt
+            red = tuple(range(xf.ndim - 1))
+
+            def ch_sum(v):
+                return jnp.sum(v, axis=red)
+
+        if train:
+            cnt = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+            mean = ch_sum(xf * m) / cnt
+            mean_b = jnp.tile(mean, ts) if folded else mean
+            var = ch_sum(jnp.square(xf - mean_b) * m) / cnt
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1 - self.momentum) * mean)
@@ -75,8 +104,11 @@ class MaskedBatchNorm(nn.Module):
                                 + (1 - self.momentum) * var)
         else:
             mean, var = ra_mean.value, ra_var.value
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
-        y = jnp.where(mask[..., None], y, 0.0)
+        mean_b = jnp.tile(mean, ts) if folded else mean
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        inv_b = jnp.tile(inv, ts) if folded else inv
+        bias_b = jnp.tile(bias, ts) if folded else bias
+        y = ((xf - mean_b) * inv_b + bias_b) * m
         return y.astype(self.dtype)
 
 

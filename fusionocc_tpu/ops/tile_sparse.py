@@ -1,28 +1,39 @@
-"""Block-sparse tile formulation of the sparse 3D conv stack.
+"""Block-sparse tile formulation of the sparse 3D conv stack, z-folded.
 
 TPU-native acceleration of the spconv SubMConv3d / SparseConv3d semantics
 (reference: fusionocc/lidar_encoder.py:125-220).  The COO gather-GEMM path
 (ops/sparse_conv.py) is numerically exact but pays one large sort-based
-neighbor-map build per (resolution, kind): ~55 ms per stage-0 build on chip,
-~350-405 ms/frame across the four stages (BENCH.md round 2).  Real LiDAR
-clouds are surface scans, so active voxels cluster: on beam-model clouds
-the 88k stage-0 voxels occupy ~12.6k of the 640k ``8^3`` tiles (occupancy
-~7/tile).  This module exploits that:
+neighbor-map build per (resolution, kind): ~350-405 ms/frame across the four
+stages (BENCH.md round 2).  Real LiDAR clouds are surface scans, so active
+voxels cluster: on beam-model clouds the 88k stage-0 voxels occupy ~12.6k of
+the 640k ``8^3`` tiles.  This module exploits that: active voxels live in
+dense per-tile blocks, a dense ``tile-key -> slot`` table gives O(1)
+neighbor-tile lookup, and convs become dense MXU work over tile batches.
 
-  - Active voxels live in DENSE per-tile blocks ``(T, ts, ts, ts, C)`` plus
-    an active-cell mask; a dense ``tile-key -> slot`` table gives O(1)
-    neighbor-tile lookup — no sorts or binary searches per conv stage.
-  - A 3^3 conv becomes: gather the 26 neighbor-tile boundary slices into a
-    halo block ``(T, ts+2, ts+2, ts+2, C)``, then one dense
-    ``lax.conv_general_dilated`` over all tiles — MXU work instead of sort
-    machinery.  Submanifold masking (output restricted to the active set,
-    zeros elsewhere) keeps spconv equivalence.
-  - Strided convs derive the coarse active TILE set with the same
-    even/odd 2-candidate rule spconv uses for voxels
-    (ops/sparse_conv._downsample_coords_one), at tile granularity: a sort
-    over 8T tile keys instead of 8V voxel keys (~10x smaller).  Each coarse
-    tile's 8 fine "children" are conv'd at stride 2 from their halo blocks
-    and regrouped — exact receptive-field coverage, no scatter.
+**Layout — the part that makes this a TPU program.**  TPU HBM arrays are
+physically tiled on their two minor dims ((8, 128) for f32/bf16); a naive
+``(T, ts, ts, ts, C)`` block layout pads ``(ts=8, C=16)`` to ``(8, 128)`` —
+an 8x memory/bandwidth inflation, and the ``(T, ts+2, ts+2, ts+2, C)`` halo
+blocks inflate 12.8x (26.8 GB at full scale — measured OOM).  So tiles are
+stored **z-folded**: ``feats (B, T+1, ts, ts, ts*C)`` with lane index
+``z*C + c``.  For this model's stage channels (16/32/48/64) and ``ts=8``,
+``ts*C`` is always a multiple of 128 — zero padding.  The active-cell mask
+is stored flat: ``mask (B, T+1, ts^3) bool``.
+
+A 3^3 conv in this layout is a **2D 3x3 spatial conv with a z-banded weight
+matrix**: ``Wb (3, 3, (ts+2)*Cin, (ts//s)*Cout)`` where
+``Wb[dx, dy, zi*Cin+ci, zo*Cout+co] = W[dx, dy, dz, ci, co]`` iff
+``zi == s*zo + dz`` — one ``lax.conv_general_dilated`` over the xy-halo'd
+blocks handles neighbor mixing in x, y AND z (and z-striding) on the MXU.
+Halos are only materialized in x/y (``(T, ts+2, ts+2, (ts+2)*C)``); the z
+halo is two C-lane slices of the z-neighbor tiles.  Halo construction +
+conv are chunked over tiles (``lax.map``) to bound transient memory.
+
+Strided convs derive the coarse active TILE set with the same even/odd
+2-candidate rule spconv uses for voxels (ops/sparse_conv
+._downsample_coords_one) at tile granularity; each coarse tile's 8 fine
+children are conv'd at stride 2 from their halos and regrouped — exact
+receptive-field coverage, no scatter.
 
 Sentinels: tile slot ``T`` is an all-zero pad tile; table entries and
 neighbor lookups that miss resolve to it, so gathers need no masking.
@@ -49,17 +60,21 @@ CHILD_OFFS = np.stack(np.meshgrid(
     np.arange(2), np.arange(2), np.arange(2), indexing='ij'),
     axis=-1).reshape(8, 3)
 
+# transient-memory budget for one halo chunk (bytes, padded estimate)
+_HALO_CHUNK_BYTES = 256 * 2 ** 20
+
 
 class TileVoxels(NamedTuple):
-    """Batched block-sparse voxel set over ``ts^3`` tiles.
+    """Batched block-sparse voxel set over ``ts^3`` tiles (z-folded).
 
-    ``feats``/``mask`` carry ``T+1`` slots; slot ``T`` is an all-zero pad
-    tile that absorbs neighbor-lookup misses.  ``table`` has
-    ``prod(tgrid)+1`` entries (last = sentinel) mapping tile key -> slot.
-    Inactive cells of active tiles hold exactly 0 in ``feats``.
+    ``feats`` lanes are ``z*C + c``; ``mask`` is the flat active-cell mask
+    (cell index ``(x*ts + y)*ts + z``).  Slot ``T`` is an all-zero pad tile
+    that absorbs neighbor-lookup misses.  ``table`` has ``prod(tgrid)+1``
+    entries (last = sentinel) mapping tile key -> slot.  Inactive cells of
+    active tiles hold exactly 0 in ``feats``.
     """
-    feats: jnp.ndarray        # (B, T+1, ts, ts, ts, C)
-    mask: jnp.ndarray         # (B, T+1, ts, ts, ts) bool
+    feats: jnp.ndarray        # (B, T+1, ts, ts, ts*C)
+    mask: jnp.ndarray         # (B, T+1, ts^3) bool, flat cell index
     tile_coords: jnp.ndarray  # (B, T, 3) int32
     tile_keys: jnp.ndarray    # (B, T) int32 ascending; sentinel prod(tgrid)
     tile_mask: jnp.ndarray    # (B, T) bool
@@ -85,8 +100,48 @@ def tile_major_key(coords: jnp.ndarray, shape: Tuple[int, int, int], ts: int,
     return jnp.where(valid, tkey * ts ** 3 + okey, sentinel).astype(jnp.int32)
 
 
+def expand_cell_mask(mask_flat: jnp.ndarray, ts: int, C: int,
+                     dtype) -> jnp.ndarray:
+    """Flat cell mask (..., ts^3) -> z-folded multiplier (..., ts,ts,ts*C).
+
+    Kept as arithmetic (convert -> reshape -> repeat) so XLA fuses it into
+    the consuming multiply without materializing small-minor bool arrays.
+    """
+    m = mask_flat.astype(dtype)
+    m = m.reshape(mask_flat.shape[:-1] + (ts, ts, ts))
+    return jnp.repeat(m, C, axis=-1)
+
+
+def band_weight(w27: jnp.ndarray, ts: int, stride: int) -> jnp.ndarray:
+    """(27, Cin, Cout) kernel -> z-banded 2D conv weight.
+
+    Returns ``(3, 3, (ts+2)*Cin, (ts//stride)*Cout)`` where entry
+    ``[dx, dy, zi*Cin+ci, zo*Cout+co]`` is ``w27[(dx*3+dy)*3+dz, ci, co]``
+    iff ``zi == stride*zo + dz`` — the z-neighbor mixing of the 3^3 conv
+    (including z-striding) expressed as lane structure, so one 2D conv on
+    the xy-halo'd z-folded blocks implements the full 3D conv.  Matches
+    ops.sparse_conv's ``in = out*stride + k - padding`` on a halo whose
+    origin is -1 in x, y and z.
+    """
+    cin, cout = w27.shape[1], w27.shape[2]
+    zo_n = ts // stride
+    zi = np.arange(ts + 2)
+    zo = np.arange(zo_n)
+    dz = np.arange(3)
+    oh = (zi[:, None, None] == stride * zo[None, :, None] + dz[None, None])
+    w = w27.reshape(3, 3, 3, cin, cout)
+    wb = jnp.einsum('iod,xydce->xyicoe', jnp.asarray(oh, w27.dtype), w)
+    return wb.reshape(3, 3, (ts + 2) * cin, zo_n * cout)
+
+
 def _tiles_from_sorted_one(feats, keys, mask, tgrid, capacity: int, ts: int):
-    """One sample: tile-major-sorted COO -> tile buffers (no sort needed)."""
+    """One sample: tile-major-sorted COO -> z-folded tile buffers.
+
+    Both scatters are row scatter-adds (destination rows are 128-lane-class
+    rows, not tiny-minor blocks): feats rows are the ``(x, y)`` rows of the
+    folded layout (each voxel contributes its C lanes at offset ``z*C`` via
+    a z-one-hot spread), the mask rows are whole per-tile cell masks.
+    """
     cells = ts ** 3
     ntile = tgrid[0] * tgrid[1] * tgrid[2]
     C = feats.shape[-1]
@@ -96,7 +151,7 @@ def _tiles_from_sorted_one(feats, keys, mask, tgrid, capacity: int, ts: int):
     prv = jnp.concatenate([jnp.full((1,), -1, tid.dtype), tid[:-1]])
     is_first = (tid != prv) & mask
     slot = jnp.cumsum(is_first.astype(jnp.int32)) - 1
-    vslot = jnp.where(mask & (slot >= 0) & (slot < capacity), slot, capacity)
+    ok = mask & (slot >= 0) & (slot < capacity)
 
     # compact the unique tiles: slot is non-decreasing, so unique #i starts
     # at searchsorted(slot, i) — scatter-free
@@ -106,17 +161,27 @@ def _tiles_from_sorted_one(feats, keys, mask, tgrid, capacity: int, ts: int):
     tkeys = jnp.where(tmask, tid[pos_c], ntile).astype(jnp.int32)
     tcoords = jnp.where(tmask[:, None], key_to_coords(tkeys, tgrid), 0)
 
-    # scatter voxel rows (feats + a mask channel) into the tile blocks;
-    # invalid rows write zeros at the first cell of the pad tile
-    dest = jnp.where(vslot < capacity, vslot * cells + (keys % cells),
-                     capacity * cells)
-    vals = jnp.concatenate(
-        [feats, jnp.ones((V, 1), feats.dtype)], axis=-1)
-    vals = jnp.where(mask[:, None], vals, 0)
-    buf = jnp.zeros(((capacity + 1) * cells, C + 1), feats.dtype)
-    buf = buf.at[dest].set(vals, mode='drop')
-    bfeats = buf[:, :C].reshape(capacity + 1, ts, ts, ts, C)
-    bmask = buf[:, C].reshape(capacity + 1, ts, ts, ts) > 0
+    # feats: scatter-add voxel lanes into the (slot, x, y) rows; rows of
+    # one (slot, x, y) with different z carry disjoint lanes, so add=union
+    cell = keys % cells
+    z = cell % ts
+    rxy = cell // ts
+    vslot = jnp.where(ok, slot, capacity)
+    dest = jnp.where(ok, vslot * (ts * ts) + rxy, capacity * (ts * ts))
+    ohz = (z[:, None] == jnp.arange(ts)).astype(feats.dtype)      # (V, ts)
+    vals = jnp.repeat(ohz, C, axis=1) * jnp.tile(feats, (1, ts))  # (V, ts*C)
+    vals = jnp.where(ok[:, None], vals, 0)
+    buf = jnp.zeros(((capacity + 1) * ts * ts, ts * C), feats.dtype)
+    buf = buf.at[dest].add(vals, mode='drop')
+    bfeats = buf.reshape(capacity + 1, ts, ts, ts * C)
+
+    # mask: scatter-add per-voxel cell one-hots into per-tile rows
+    ohc = (cell[:, None] == jnp.arange(cells)).astype(jnp.bfloat16)
+    ohc = jnp.where(ok[:, None], ohc, 0)
+    mrow = jnp.where(ok, slot, capacity)
+    mbuf = jnp.zeros((capacity + 1, cells), jnp.bfloat16)
+    mbuf = mbuf.at[mrow].add(ohc, mode='drop')
+    bmask = mbuf > 0
 
     table = jnp.full((ntile + 1,), capacity, jnp.int32)
     table = table.at[jnp.where(tmask, tkeys, ntile)].set(
@@ -168,18 +233,19 @@ def neighbor_slots(tv: TileVoxels, tgrid) -> jnp.ndarray:
 
 
 def _gather_halo_one(buf, nbr, ts: int, center=None):
-    """One sample: (T1, ts,ts,ts, C) + (T, 27) -> (T, ts+2, ts+2, ts+2, C).
+    """One sample: (T1, ts, ts, ts*C) + (T, 27) -> (T, ts+2, ts+2, (ts+2)*C).
 
-    26 boundary-slice gathers assembled around the center block.  Slices are
-    taken BEFORE the gather so only the needed shell cells move.
+    x/y halos are boundary-slice gathers from the 26 neighbor tiles (slices
+    taken BEFORE the gather so only the needed shell cells move); the z halo
+    is C-lane slices of the z-neighbor tiles placed at the lane boundaries.
     """
     T = nbr.shape[0]
-    C = buf.shape[-1]
+    C = buf.shape[-1] // ts
     h = ts + 2
-    halo = jnp.zeros((T, h, h, h, C), buf.dtype)
+    halo = jnp.zeros((T, h, h, h * C), buf.dtype)
     if center is None:
         center = buf[nbr[:, 13]]
-    halo = halo.at[:, 1:ts + 1, 1:ts + 1, 1:ts + 1, :].set(center)
+    halo = halo.at[:, 1:ts + 1, 1:ts + 1, C:(ts + 1) * C].set(center)
 
     def sl(d):   # source slice in the neighbor tile for direction d
         return {-1: slice(ts - 1, ts), 0: slice(0, ts), 1: slice(0, 1)}[d]
@@ -188,57 +254,103 @@ def _gather_halo_one(buf, nbr, ts: int, center=None):
         return {-1: slice(0, 1), 0: slice(1, ts + 1),
                 1: slice(ts + 1, ts + 2)}[d]
 
+    def slz(d):  # z is lane-folded: slice lanes
+        return {-1: slice((ts - 1) * C, ts * C), 0: slice(0, ts * C),
+                1: slice(0, C)}[d]
+
+    def dstz(d):
+        return {-1: slice(0, C), 0: slice(C, (ts + 1) * C),
+                1: slice((ts + 1) * C, (ts + 2) * C)}[d]
+
     for k in range(27):
         if k == 13:
             continue
         dx, dy, dz = (int(v) - 1 for v in KERNEL_OFFSETS[k])
-        view = buf[:, sl(dx), sl(dy), sl(dz), :]
+        view = buf[:, sl(dx), sl(dy), slz(dz)]
         piece = view[nbr[:, k]]
-        halo = halo.at[:, dst(dx), dst(dy), dst(dz), :].set(piece)
+        halo = halo.at[:, dst(dx), dst(dy), dstz(dz)].set(piece)
     return halo
 
 
-def gather_halo(buf, nbr, ts: int, center=None):
-    if center is None:
-        return jax.vmap(lambda b, n: _gather_halo_one(b, n, ts))(buf, nbr)
-    return jax.vmap(
-        lambda b, n, c: _gather_halo_one(b, n, ts, c))(buf, nbr, center)
-
-
-def _conv3d_valid(x, weight, stride: int):
-    """x: (..., D, H, W, Cin); weight (27, Cin, Cout) row-major (dx,dy,dz).
-
-    out[o] = sum_k x[o*stride + k] @ W[k] — matches ops.sparse_conv's
-    ``in = out*stride + k - padding`` on a halo block whose origin is -1.
-    """
-    cin, cout = weight.shape[1], weight.shape[2]
-    lead = x.shape[:-4]
-    xr = x.reshape((-1,) + x.shape[-4:])
-    w = weight.reshape(3, 3, 3, cin, cout).astype(x.dtype)
+def _conv2d_banded(halo, wb, stride: int):
+    """halo (..., h, h, (ts+2)*Cin) -> (..., s, s, (ts//stride)*Cout)."""
+    lead = halo.shape[:-3]
+    xr = halo.reshape((-1,) + halo.shape[-3:])
     out = jax.lax.conv_general_dilated(
-        xr, w, window_strides=(stride,) * 3, padding='VALID',
-        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'),
+        xr, wb.astype(halo.dtype), window_strides=(stride, stride),
+        padding='VALID', dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         preferred_element_type=jnp.float32)
-    return out.astype(x.dtype).reshape(lead + out.shape[1:])
+    return out.astype(halo.dtype).reshape(lead + out.shape[1:])
+
+
+def _auto_chunk(T: int, ts: int, lanes_in: int, itemsize: int) -> int:
+    """Tiles per halo chunk so one padded halo stays under the budget."""
+    pad_rows = -(-(ts + 2) // 8) * 8
+    pad_lanes = -(-((ts + 2) * (lanes_in // ts)) // 128) * 128
+    per_tile = (ts + 2) * pad_rows * pad_lanes * itemsize
+    return max(256, min(T, _HALO_CHUNK_BYTES // max(per_tile, 1)))
+
+
+def _halo_conv(buf, nbr, wb, stride: int, center=None, chunk=None):
+    """Batched halo gather + banded conv, chunked over tiles.
+
+    buf (B, T1, ts, ts, ts*Cin); nbr (B, T, 27); center optionally the
+    pre-gathered center blocks (B, T, ts, ts, ts*Cin) (identity for subm).
+    Returns (B, T, s, s, (ts//stride)*Cout).  Chunking bounds the transient
+    halo memory; chunk tail-padding gathers the zero pad tile.
+    """
+    B, T1, ts = buf.shape[0], buf.shape[1], buf.shape[2]
+    T = nbr.shape[1]
+    if chunk is None:
+        chunk = _auto_chunk(T, ts, buf.shape[-1], buf.dtype.itemsize)
+
+    if chunk >= T:
+        def whole(b, n, c):
+            halo = _gather_halo_one(b, n, ts, c)
+            return _conv2d_banded(halo, wb, stride)
+        if center is None:
+            return jax.vmap(lambda b, n: whole(b, n, None))(buf, nbr)
+        return jax.vmap(whole)(buf, nbr, center)
+
+    nc = -(-T // chunk)
+    pad = nc * chunk - T
+    nbr_p = jnp.pad(nbr, ((0, 0), (0, pad), (0, 0)),
+                    constant_values=T1 - 1)          # pad -> zero pad tile
+    center_p = (None if center is None else
+                jnp.pad(center, ((0, 0), (0, pad)) + ((0, 0),) * 3))
+
+    def one(b, n, c):
+        def body(i):
+            nb = jax.lax.dynamic_slice_in_dim(n, i * chunk, chunk)
+            cen = (None if c is None else
+                   jax.lax.dynamic_slice_in_dim(c, i * chunk, chunk))
+            halo = _gather_halo_one(b, nb, ts, cen)
+            return _conv2d_banded(halo, wb, stride)
+        out = jax.lax.map(body, jnp.arange(nc))
+        return out.reshape((nc * chunk,) + out.shape[2:])[:T]
+
+    if center is None:
+        return jax.vmap(lambda b, n: one(b, n, None))(buf, nbr_p)
+    return jax.vmap(one)(buf, nbr_p, center_p)
 
 
 def tile_subm_conv(feats: jnp.ndarray, mask: jnp.ndarray, nbr: jnp.ndarray,
                    weight: jnp.ndarray,
                    bias: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Submanifold 3^3 conv: (B, T+1, ts,ts,ts, Cin) -> same shape, Cout.
+    """Submanifold 3^3 conv: (B, T+1, ts, ts, ts*Cin) -> same, Cout lanes.
 
     Output restricted to the active set (zeros elsewhere), like spconv
-    SubMConv3d.  ``mask`` is the (B, T+1, ts,ts,ts) active-cell mask;
+    SubMConv3d.  ``mask`` is the flat (B, T+1, ts^3) active-cell mask;
     ``nbr`` (B, T, 27) from neighbor_slots, shared across a stage
     (the reference's ``indice_key`` sharing, lidar_encoder.py:60-79).
     """
-    B, T1 = feats.shape[:2]
-    ts = feats.shape[2]
-    halo = gather_halo(feats, nbr, ts, center=feats[:, :T1 - 1])
-    out = _conv3d_valid(halo, weight, 1)          # (B, T, ts,ts,ts, Cout)
+    B, T1, ts = feats.shape[0], feats.shape[1], feats.shape[2]
+    cout = weight.shape[2]
+    wb = band_weight(weight, ts, 1)
+    out = _halo_conv(feats, nbr, wb, 1, center=feats[:, :T1 - 1])
     if bias is not None:
-        out = out + bias.astype(out.dtype)
-    out = jnp.where(mask[:, :T1 - 1, ..., None], out, 0)
+        out = out + jnp.tile(bias, ts).astype(out.dtype)
+    out = out * expand_cell_mask(mask[:, :T1 - 1], ts, cout, out.dtype)
     pad = jnp.zeros((B, 1) + out.shape[2:], out.dtype)
     return jnp.concatenate([out, pad], axis=1)
 
@@ -252,7 +364,7 @@ class StridedGeom(NamedTuple):
     children included — their outputs can still be driven by active halo
     neighbors, spconv's any-active-in-receptive-field rule)."""
     nbr: jnp.ndarray          # (B, T2*8, 27) fine-tile slots
-    out_mask: jnp.ndarray     # (B, T2+1, ts,ts,ts) active output cells
+    out_mask: jnp.ndarray     # (B, T2+1, ts^3) flat active output cells
     tile_coords: jnp.ndarray  # (B, T2, 3) coarse tile coords
     tile_keys: jnp.ndarray    # (B, T2)
     tile_mask: jnp.ndarray    # (B, T2)
@@ -260,14 +372,25 @@ class StridedGeom(NamedTuple):
 
 
 def _regroup_children(a: jnp.ndarray, ts: int) -> jnp.ndarray:
-    """(B, T2*8, hs,hs,hs, C) children (2,2,2 row-major) -> (B,T2,ts,ts,ts,C)."""
+    """(B, T2*8, hs, hs, hs*C) children (2,2,2 row-major) -> coarse blocks.
+
+    Coarse lane ``(ez*hs + z)*C + c`` comes from child ``ez`` lane
+    ``z*C + c`` — z-major folding makes the z-regroup a plain lane concat.
+    """
     hs = ts // 2
     B = a.shape[0]
     T2 = a.shape[1] // 8
-    C = a.shape[-1]
-    a = a.reshape(B, T2, 2, 2, 2, hs, hs, hs, C)
-    a = jnp.transpose(a, (0, 1, 2, 5, 3, 6, 4, 7, 8))
-    return a.reshape(B, T2, ts, ts, ts, C)
+    L = a.shape[-1]
+    a = a.reshape(B, T2, 2, 2, 2, hs, hs, L)
+    a = jnp.transpose(a, (0, 1, 2, 5, 3, 6, 4, 7))
+    return a.reshape(B, T2, ts, ts, 2 * L)
+
+
+# flat cell index -> (x, y, z) offsets, shared by the bounds mask
+def _cell_offsets(ts: int):
+    c = np.arange(ts ** 3)
+    return (c // (ts * ts)).astype(np.int32), \
+        ((c // ts) % ts).astype(np.int32), (c % ts).astype(np.int32)
 
 
 def tile_strided_prepare(tv: TileVoxels, shape_in, capacity_out: int
@@ -281,7 +404,6 @@ def tile_strided_prepare(tv: TileVoxels, shape_in, capacity_out: int
     from .sparse_conv import out_shape_strided
     ts = tv.feats.shape[2]
     assert ts % 2 == 0
-    hs = ts // 2
     B = tv.feats.shape[0]
     shape_out = out_shape_strided(shape_in)
     tg_in = tile_grid(shape_in, ts)
@@ -310,27 +432,24 @@ def tile_strided_prepare(tv: TileVoxels, shape_in, capacity_out: int
     T2 = nbr.shape[1]
     nbr = nbr.reshape(B, T2 * 8, 27)
 
-    # 3. output active-cell mask: 3^3 stride-2 max-pool over the mask halo
-    mh = gather_halo(tv.mask[..., None].astype(jnp.float32), nbr, ts)
-    hm = mh[..., 0].reshape((-1,) + mh.shape[2:5])
-    mout = jax.lax.reduce_window(
-        hm, -jnp.inf, jax.lax.max, (1, 3, 3, 3), (1, 2, 2, 2), 'VALID')
-    mout = (mout > 0).reshape(B, T2 * 8, hs, hs, hs)
+    # 3. output active-cell mask: the banded ones-conv of the occupancy in
+    #    z-folded C=1 form is a 3^3 stride-2 dilate-and-subsample
+    mfold = tv.mask.astype(jnp.bfloat16).reshape(
+        tv.mask.shape[:-1] + (ts, ts, ts))
+    wones = jnp.ones((27, 1, 1), jnp.bfloat16)
+    counts = _halo_conv(mfold, nbr, band_weight(wones, ts, 2), 2)
+    counts = _regroup_children(counts, ts)               # (B, T2, ts,ts,ts)
+    mout = counts.reshape(B, T2, ts ** 3) > 0
 
     # cell bounds for ragged edges: output coords must lie inside shape_out
-    base = child * hs                                     # (B, T2, 8, 3)
-    rng = jnp.arange(hs, dtype=jnp.int32)
-    so = jnp.asarray(shape_out, jnp.int32)
-    bx = (base[..., 0, None] + rng < so[0])               # (B, T2, 8, hs)
-    by = (base[..., 1, None] + rng < so[1])
-    bz = (base[..., 2, None] + rng < so[2])
-    inb = (bx[..., :, None, None] & by[..., None, :, None]
-           & bz[..., None, None, :])                      # (B,T2,8,hs,hs,hs)
-    mout = mout & inb.reshape(B, T2 * 8, hs, hs, hs)
-
-    out_mask = _regroup_children(mout[..., None], ts)[..., 0]
+    xs, ys, zs = (jnp.asarray(a) for a in _cell_offsets(ts))
+    so = shape_out
+    inb = ((oc[..., 0:1] * ts + xs < so[0])
+           & (oc[..., 1:2] * ts + ys < so[1])
+           & (oc[..., 2:3] * ts + zs < so[2]))           # (B, T2, ts^3)
+    mout = mout & inb & omask[..., None]
     out_mask = jnp.concatenate(
-        [out_mask, jnp.zeros((B, 1, ts, ts, ts), bool)], axis=1)
+        [mout, jnp.zeros((B, 1, ts ** 3), bool)], axis=1)
 
     # 4. coarse table
     ntile_out = tg_out[0] * tg_out[1] * tg_out[2]
@@ -347,15 +466,16 @@ def tile_strided_prepare(tv: TileVoxels, shape_in, capacity_out: int
 
 def tile_strided_apply(feats: jnp.ndarray, geom: StridedGeom,
                        weight: jnp.ndarray) -> jnp.ndarray:
-    """Run the stride-2 conv: (B, T1_in, ts,ts,ts, Cin) -> (B, T2+1, ..., Co)."""
+    """Run the stride-2 conv: (B, T1_in, ts,ts,ts*Cin) -> (B, T2+1, .., Co)."""
     ts = feats.shape[2]
-    halo = gather_halo(feats, geom.nbr, ts)  # (B, T2*8, ts+2,.., Cin)
-    out = _conv3d_valid(halo, weight, 2)     # (B, T2*8, hs,hs,hs, Co)
-    out = _regroup_children(out, ts)         # (B, T2, ts,ts,ts, Co)
+    cout = weight.shape[2]
+    wb = band_weight(weight, ts, 2)
+    out = _halo_conv(feats, geom.nbr, wb, 2)   # (B, T2*8, hs, hs, hs*Co)
+    out = _regroup_children(out, ts)           # (B, T2, ts, ts, ts*Co)
     B = out.shape[0]
     pad = jnp.zeros((B, 1) + out.shape[2:], out.dtype)
     out = jnp.concatenate([out, pad], axis=1)
-    return jnp.where(geom.out_mask[..., None], out, 0)
+    return out * expand_cell_mask(geom.out_mask, ts, cout, out.dtype)
 
 
 def tile_strided_conv(tv: TileVoxels, shape_in, capacity_out: int,
@@ -369,17 +489,22 @@ def tile_strided_conv(tv: TileVoxels, shape_in, capacity_out: int,
 
 def tile_conv1x1(tv: TileVoxels, weight: jnp.ndarray,
                  bias: jnp.ndarray | None = None) -> jnp.ndarray:
-    """1x1x1 submanifold conv (per-voxel linear) in tile form."""
-    out = jnp.einsum('btxyzc,cd->btxyzd', tv.feats,
-                     weight.astype(tv.feats.dtype),
-                     preferred_element_type=jnp.float32).astype(tv.feats.dtype)
+    """1x1x1 submanifold conv (per-voxel linear) in z-folded form.
+
+    The per-voxel ``C -> Cout`` map is a block-diagonal ``kron(I_ts, W)``
+    matmul over the folded lanes — stays on the MXU, no unfolding.
+    """
+    ts = tv.feats.shape[2]
+    cout = weight.shape[1]
+    wblk = jnp.kron(jnp.eye(ts, dtype=weight.dtype), weight)
+    out = (tv.feats @ wblk.astype(tv.feats.dtype)).astype(tv.feats.dtype)
     if bias is not None:
-        out = out + bias.astype(out.dtype)
-    return jnp.where(tv.mask[..., None], out, 0)
+        out = out + jnp.tile(bias, ts).astype(out.dtype)
+    return out * expand_cell_mask(tv.mask, ts, cout, out.dtype)
 
 
 def tiles_to_dense(tv: TileVoxels, shape) -> jnp.ndarray:
-    """(B, T+1, ts,ts,ts, C) -> (B, X, Y, Z, C) dense grid.
+    """(B, T+1, ts, ts, ts*C) -> (B, X, Y, Z, C) dense grid.
 
     Row scatter at TILE granularity into a tile-blocked layout, then one
     transpose — ~1.5k rows at the final stage, well inside the
@@ -388,13 +513,13 @@ def tiles_to_dense(tv: TileVoxels, shape) -> jnp.ndarray:
     ts = tv.feats.shape[2]
     tg = tile_grid(shape, ts)
     ntile = tg[0] * tg[1] * tg[2]
-    C = tv.feats.shape[-1]
+    C = tv.feats.shape[-1] // ts
     cells = ts ** 3
     T = tv.tile_keys.shape[1]
 
     def one(feats, mask, keys, tmask):
-        rows = jnp.where(mask[..., None], feats, 0)[:T]
-        rows = rows.reshape(T, cells * C)
+        rows = feats * expand_cell_mask(mask, ts, C, feats.dtype)
+        rows = rows[:T].reshape(T, cells * C)
         buf = jnp.zeros((ntile + 1, cells * C), feats.dtype)
         buf = buf.at[jnp.where(tmask, keys, ntile)].set(
             jnp.where(tmask[:, None], rows, 0))

@@ -4,10 +4,15 @@ The threaded path is the reference's `workers_per_gpu=4` dataloader
 (configs/fusion_occ.py:317) realised as a thread pool (PIL/numpy release
 the GIL) with a batch-level pipeline window.
 """
+import os
+import sys
+
 import numpy as np
 
 from fusionocc_tpu.data.dataset import data_loader
 from fusionocc_tpu.models.fusion_occ import Batch
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 class FakeDataset:
@@ -53,6 +58,46 @@ def test_yield_indices():
     for k, (batch, idxs) in enumerate(out):
         assert list(idxs) == [2 * k, 2 * k + 1]
         assert isinstance(batch, Batch)
+
+
+def test_dataset_rng_determinism_across_workers(tmp_path):
+    """Real dataset pipeline (augs, BDA, sweep subsampling) must produce
+    byte-identical batches regardless of worker count — the per-sample
+    derived RNG makes __getitem__ thread-safe (a shared RandomState would
+    make augs depend on thread interleaving).  Reference analog:
+    per-worker seeding via DistSamplerSeedHook (configs/fusion_occ.py:412)."""
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    from tools.bench_loader import make_fake_tree
+    from fusionocc_tpu.config import tiny_model_config
+    from fusionocc_tpu.data.dataset import NuScenesOccDataset
+
+    cfg = tiny_model_config()
+    root = str(tmp_path)
+    ann = make_fake_tree(root, 4, img_hw=(96, 160), n_points=3000,
+                         occ_shape=(20, 20, 4))
+    ds = NuScenesOccDataset(ann, cfg, data_root=root, train=True)
+
+    serial = list(data_loader(ds, 2, shuffle=False, num_workers=0))
+    threaded = list(data_loader(ds, 2, shuffle=False, num_workers=4))
+    assert len(serial) == len(threaded) == 2
+    for a, b in zip(serial, threaded):
+        for f in Batch._fields:
+            va, vb = getattr(a, f), getattr(b, f)
+            if va is None:
+                assert vb is None
+                continue
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                          err_msg=f)
+
+    # and a fresh pass is reproducible...
+    again = next(iter(data_loader(ds, 2, shuffle=False, num_workers=4)))
+    np.testing.assert_array_equal(again.imgs, serial[0].imgs)
+    # ...while a new epoch draws different augmentations
+    ds.set_epoch(1)
+    other = next(iter(data_loader(ds, 2, shuffle=False, num_workers=0)))
+    assert not np.array_equal(np.asarray(other.imgs),
+                              np.asarray(serial[0].imgs))
 
 
 def test_resample_on_failure_threaded():

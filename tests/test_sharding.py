@@ -81,3 +81,38 @@ def test_sharded_step_matches_single_device():
     bN = jax.tree_util.tree_leaves(sN.batch_stats)
     worst_bn = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(b1, bN))
     assert worst_bn < 1e-3, worst_bn
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_confusion_matrix_global_under_data_sharding():
+    """Distributed eval: the jitted confusion matrix over a batch sharded on
+    the 'data' axis must equal the global (unsharded) matrix — XLA inserts
+    the cross-device reduction because the output is replicated.  This is
+    the device-level half of the reference's cross-rank result gather
+    (occupancy_metric.py:28-35); the cross-process half is
+    OccupancyMetric.reduced_hist."""
+    from fusionocc_tpu.eval.metrics import confusion_matrix
+
+    rng = np.random.RandomState(0)
+    B, X, Y, Z = 8, 10, 10, 4
+    pred = rng.randint(0, 18, (B, X, Y, Z)).astype(np.int32)
+    gt = rng.randint(0, 18, (B, X, Y, Z)).astype(np.int32)
+    mask = rng.rand(B, X, Y, Z) > 0.4
+
+    ref = np.asarray(confusion_matrix(jnp.asarray(pred), jnp.asarray(gt),
+                                      jnp.asarray(mask)))
+    # sum of per-shard matrices == global matrix (what a psum over 'data'
+    # computes)
+    parts = sum(np.asarray(confusion_matrix(jnp.asarray(pred[i:i + 1]),
+                                            jnp.asarray(gt[i:i + 1]),
+                                            jnp.asarray(mask[i:i + 1])))
+                for i in range(B))
+    np.testing.assert_array_equal(parts, ref)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ('data',))
+    dsh = NamedSharding(mesh, P('data'))
+    repl = NamedSharding(mesh, P())
+    args = [jax.device_put(jnp.asarray(a), dsh) for a in (pred, gt, mask)]
+    got = jax.jit(confusion_matrix, in_shardings=(dsh, dsh, dsh),
+                  out_shardings=repl)(*args)
+    np.testing.assert_array_equal(np.asarray(got), ref)

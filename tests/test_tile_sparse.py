@@ -49,8 +49,10 @@ def _dense_from_tiles(tv, shape):
 
 
 def _dense_mask_from_tiles(tv, shape):
-    ones = tv._replace(feats=tv.mask[..., None].astype(jnp.float32))
-    return _dense_from_tiles(ones, shape)[..., 0] > 0
+    ts = tv.feats.shape[2]
+    mfold = tv.mask.astype(jnp.float32).reshape(
+        tv.mask.shape[:-1] + (ts, ts, ts))   # z-folded, C=1
+    return _dense_from_tiles(tv._replace(feats=mfold), shape)[..., 0] > 0
 
 
 def test_tiles_roundtrip():

@@ -82,6 +82,7 @@ def main():
         def batches():
             epoch = 0
             while True:
+                ds.set_epoch(epoch)  # fresh per-epoch augs (sampler-seed hook)
                 yield from prefetch(data_loader(
                     ds, args.batch_size, shuffle=True, seed=epoch,
                     host_id=jax.process_index(), host_count=hosts))
