@@ -105,7 +105,11 @@ class SparseEncoderConfig:
     # synthetic matches); 2^17 holds that with margin and halves the
     # voxelize sort vs 2^18.
     point_capacity: int = 2 ** 17
-    voxel_capacity: Tuple[int, ...] = (2 ** 17, 2 ** 16, 2 ** 15, 2 ** 14)
+    # Stages 1..3 must hold the stride-2 DILATED active sets (1.8x growth
+    # at stage 1): measured on the beam-model cloud 88k/160k/83k/34k
+    # actives.  Round-2's (2^17, 2^16, 2^15, 2^14) silently truncated ~60%
+    # of stage-1..3 voxels.
+    voxel_capacity: Tuple[int, ...] = (2 ** 17, 196608, 98304, 49152)
     # Block-sparse tile path (ops/tile_sparse.py): 'tile' runs the encoder
     # as dense MXU convs over halo'd ts^3 active tiles; 'coo' keeps the
     # gather-GEMM COO path (the reference-shaped formulation).

@@ -1,37 +1,38 @@
-"""RayIoU: ray-casting occupancy metric (jit-friendly).
+"""RayIoU: ray-casting occupancy metric with exact voxel traversal.
 
 The reference exposes RayIoU through a registry swap into STCOcc's evaluator
-(fusionocc/occupancy_metric_hybrid.py:10-154). This is a self-contained
-TPU-native implementation of the metric's core definition (SparseOcc /
-Occ3D RayIoU): for each query ray, march through the voxel grid to the first
-non-free voxel in prediction and ground truth; the ray is a true positive
-for its GT class when the predicted class matches and the travelled depths
-differ by less than a threshold (1/2/4 m). IoU_c = TP_c/(TP_c+FP_c+FN_c),
-mIoU averaged over classes present and over thresholds.
+(fusionocc/occupancy_metric_hybrid.py:10-154); the metric itself is defined
+by the DVR CUDA renderer + calc_metrics
+(projects/STCOcc/stcocc/datasets/ray_metrics_occ3d.py:110-235,
+stcocc/libs/dvr/dvr.cu:70-308).  This is a TPU-native re-derivation with the
+SAME semantics, validated against a direct numpy port of the official
+traversal in tests/test_ray_metrics.py:
 
-Rays are supplied by the caller: either the official synthetic lidar fan
-(`generate_lidar_rays`, the ray set the STCOcc evaluator uses,
-ray_metrics_occ3d.py:83-106) or beam directions from the sample's point
-cloud (`rays_from_points`).
+  - Amanatides-Woo voxel traversal from the ray origin: the renderer
+    records, for every voxel the ray passes through, the distance at which
+    the ray EXITS it (dvr.cu:184-236).
+  - The reported hit is the first traversed voxel with occupancy > 0.5;
+    its class labels the ray and its exit distance is the ray depth
+    (dvr.cu:269-284).
+  - A ray that crosses the grid without hitting anything still participates:
+    it is labeled by its LAST traversed voxel (free class) at the grid-exit
+    distance (dvr.cu:264-267) — so a prediction that fills an empty GT ray
+    becomes a false positive, and vice versa.
+  - calc_metrics (ray_metrics_occ3d.py:187-235): per threshold t in
+    {1, 2, 4} m, TP_c = #rays with gt label == pred label == c and
+    |d_pred - d_gt| < t; IoU_c = TP / (gt_cnt + pred_cnt - TP); the free
+    class is excluded; RayIoU = mean over thresholds of the class nanmean.
 
-Validated against the official definition (calc_metrics,
-ray_metrics_occ3d.py:187-235): per-threshold TP = (pred hit class == gt hit
-class) AND |pred depth - gt depth| < thr; per-class counts accumulate each
-ray under its hit class; IoU_c = tp / (gt_cnt + pred_cnt - tp); classes
-absent from both sides are excluded (nan), free dropped; headline RayIoU =
-mean over thresholds of the class means.  Intentional divergences from the
-CUDA DVR renderer: (a) marching uses a fixed 0.2 m step instead of exact
-voxel traversal, so hit depths quantize to the step (well under the 1 m
-finest threshold); (b) rays that exit the grid without hitting are excluded
-from both sides' counts rather than carrying the renderer's last-voxel
-fallback.
+Instead of marching a sequential DDA, the traversal is vectorized: each
+axis's boundary-crossing distances form an arithmetic sequence, and the
+visited-voxel sequence is the three sequences MERGED — one per-ray sort
+(with the official tie order Z before Y before X, dvr.cu:210-231) yields
+every voxel's exit distance and identity in closed form.
 """
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Sequence
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import GridConfig
@@ -72,73 +73,139 @@ def generate_lidar_rays() -> np.ndarray:
                          np.sin(p)))
     return np.asarray(rays, np.float32)
 
-
-def _first_hit(occ: jnp.ndarray, origin: jnp.ndarray, dirs: jnp.ndarray,
-               grid: GridConfig, step: float, num_steps: int,
-               free_class: int):
-    """March rays; return (hit_depth, hit_class, hit_valid) per ray."""
-    gx, gy, gz = grid.grid_size
-    ts = (jnp.arange(num_steps, dtype=jnp.float32) + 0.5) * step  # (S,)
-    pos = origin[None, None, :] + dirs[:, None, :] * ts[None, :, None]
-    v = jnp.floor((pos - grid.lower_bound) / grid.interval).astype(jnp.int32)
-    inside = ((v[..., 0] >= 0) & (v[..., 0] < gx) &
-              (v[..., 1] >= 0) & (v[..., 1] < gy) &
-              (v[..., 2] >= 0) & (v[..., 2] < gz))
-    flat = jnp.clip((v[..., 0] * gy + v[..., 1]) * gz + v[..., 2],
-                    0, gx * gy * gz - 1)
-    cls = occ.reshape(-1)[flat]                              # (R, S)
-    occupied = inside & (cls != free_class)
-    first = jnp.argmax(occupied, axis=1)                     # (R,)
-    valid = jnp.any(occupied, axis=1)
-    depth = ts[first]
-    hit_cls = jnp.take_along_axis(cls, first[:, None], axis=1)[:, 0]
-    return depth, hit_cls, valid
+# official lidar origin in the key ego frame (ray_metrics_occ3d.py:111)
+LIDAR_ORIGIN = (0.9858, 0.0, 1.8402)
 
 
-def ray_iou(pred: jnp.ndarray, gt: jnp.ndarray, dirs: jnp.ndarray,
-            grid: GridConfig, origin=(0.0, 0.0, 0.0),
-            thresholds: Sequence[float] = (1.0, 2.0, 4.0),
-            num_classes: int = 18, free_class: int = 17,
-            step: float = 0.2) -> Dict[str, float]:
-    """RayIoU over one sample's (X, Y, Z) pred/gt grids.
+def render_rays(occ, origin, dirs, grid: GridConfig, free_class: int = 17):
+    """Exact-traversal ray rendering of an (X, Y, Z) class grid.
 
-    Returns per-threshold mIoU and their mean (the headline RayIoU).
+    Returns (label, dist_m, entered) per ray with the DVR renderer's
+    semantics (see module docstring).  `entered` is False for rays that
+    never intersect the grid (cannot happen for an interior origin).
+
+    Host-side float64 numpy: the official renderer computes in double
+    (dvr.cu:115-170) and this is offline evaluation tooling — f32 would
+    jitter exit distances and corner tie-breaks against the reference.
     """
-    pred = jnp.asarray(pred)
-    gt = jnp.asarray(gt)
-    dirs = jnp.asarray(dirs)
-    o = jnp.asarray(origin, jnp.float32)
-    reach = float(max(grid.x[1] - grid.x[0], grid.y[1] - grid.y[0]))
-    num_steps = int(reach / step)
+    occ = np.asarray(occ)
+    gx, gy, gz = grid.grid_size
+    sizes = np.asarray([gx, gy, gz], np.int64)
+    lower = np.asarray(grid.lower_bound, np.float64)
+    interval = np.asarray(grid.interval, np.float64)
+    o_vox = (np.asarray(origin, np.float64) - lower) / interval     # (3,)
+    d = np.asarray(dirs, np.float64)                                # (R, 3)
+    dv = d / interval                                               # vox/m
+    R = d.shape[0]
 
-    dp, cp, vp = _first_hit(pred, o, dirs, grid, step, num_steps, free_class)
-    dg, cg, vg = _first_hit(gt, o, dirs, grid, step, num_steps, free_class)
+    # K crossings per axis cover any chord through the grid
+    Ks = [int(s) + 2 for s in sizes]
+    v0 = np.floor(o_vox).astype(np.int64)                           # (3,)
 
-    out = {}
-    mious = []
-    for thr in thresholds:
-        match = vp & vg & (cp == cg) & (jnp.abs(dp - dg) < thr)
-        ious = []
-        hist_tp = jax.ops.segment_sum(
-            match.astype(jnp.float32),
-            jnp.where(vg, cg, num_classes).astype(jnp.int32),
-            num_segments=num_classes + 1)[:num_classes]
-        hist_gt = jax.ops.segment_sum(
-            jnp.ones_like(dg),
-            jnp.where(vg, cg, num_classes).astype(jnp.int32),
-            num_segments=num_classes + 1)[:num_classes]
-        hist_pred = jax.ops.segment_sum(
-            jnp.ones_like(dp),
-            jnp.where(vp, cp, num_classes).astype(jnp.int32),
-            num_segments=num_classes + 1)[:num_classes]
-        tp = np.asarray(hist_tp)
-        fn = np.asarray(hist_gt) - tp
-        fp = np.asarray(hist_pred) - tp
-        denom = tp + fp + fn
+    ts_list, axis_list, step_list = [], [], []
+    for a in range(3):
+        dva = dv[:, a]                                              # (R,)
+        step = np.where(dva >= 0, 1, -1).astype(np.int64)
+        b0 = v0[a] + np.where(step < 0, 0, 1)
+        with np.errstate(divide='ignore'):
+            tmax = np.where(dva == 0, np.inf, (b0 - o_vox[a]) / dva)
+            tdelta = np.where(dva == 0, np.inf, np.abs(1.0 / dva))
+        i = np.arange(Ks[a], dtype=np.float64)
+        ts_list.append(tmax[:, None] + i[None, :] * tdelta[:, None])
+        axis_list.append(np.full((R, Ks[a]), a, np.int64))
+        step_list.append(np.broadcast_to(step[:, None], (R, Ks[a])))
+
+    ts = np.concatenate(ts_list, axis=1)                            # (R, K)
+    axes = np.concatenate(axis_list, axis=1)
+    steps = np.concatenate(step_list, axis=1)
+    # official tie order on exact corner crossings: Z, then Y, then X
+    # (dvr.cu:210-231) — secondary sort key x->2, y->1, z->0
+    prio = 2 - axes
+    order = np.lexsort((prio, ts), axis=1)
+    ts_s = np.take_along_axis(ts, order, axis=1)
+    axes_s = np.take_along_axis(axes, order, axis=1)
+    steps_s = np.take_along_axis(steps, order, axis=1)
+
+    # voxel of segment i = v0 + sum of steps of crossings j < i
+    oh = (axes_s[..., None] == np.arange(3)) * steps_s[..., None]
+    moved = np.cumsum(oh, axis=1) - oh                              # exclusive
+    vox = v0[None, None, :] + moved                                 # (R, K, 3)
+    inside = np.all((vox >= 0) & (vox < sizes), axis=-1)
+    inside &= np.isfinite(ts_s)
+
+    flat = np.clip((vox[..., 0] * gy + vox[..., 1]) * gz + vox[..., 2],
+                   0, gx * gy * gz - 1)
+    cls = occ.reshape(-1)[flat]                                     # (R, K)
+    hit = inside & (cls != free_class)
+
+    entered = np.any(inside, axis=1)
+    first_hit = np.argmax(hit, axis=1)
+    any_hit = np.any(hit, axis=1)
+    # last inside segment (grid exit): K-1 - argmax(reversed inside)
+    last_in = inside.shape[1] - 1 - np.argmax(inside[:, ::-1], axis=1)
+    pick = np.where(any_hit, first_hit, last_in)
+    label = np.take_along_axis(cls, pick[:, None], axis=1)[:, 0]
+    dist = np.take_along_axis(ts_s, pick[:, None], axis=1)[:, 0]
+    label = np.where(entered, label, free_class).astype(np.int32)
+    dist = np.where(entered, dist, 0.0).astype(np.float64)
+    return label, dist, entered
+
+
+class RayIoUMetric:
+    """Streaming RayIoU accumulator over samples (calc_metrics semantics).
+
+    update() renders pred and GT with the exact traversal and accumulates
+    gt/pred/tp counts; compute() returns per-threshold mIoU and the
+    headline mean, exactly as ray_metrics_occ3d.calc_metrics aggregates
+    across the dataset.
+    """
+
+    def __init__(self, grid: GridConfig, num_classes: int = 18,
+                 free_class: int = 17,
+                 thresholds: Sequence[float] = (1.0, 2.0, 4.0)):
+        self.grid = grid
+        self.num_classes = num_classes
+        self.free_class = free_class
+        self.thresholds = tuple(thresholds)
+        self.gt_cnt = np.zeros(num_classes, np.float64)
+        self.pred_cnt = np.zeros(num_classes, np.float64)
+        self.tp_cnt = np.zeros((len(self.thresholds), num_classes),
+                               np.float64)
+
+    def update(self, pred, gt, dirs, origin=LIDAR_ORIGIN):
+        lp, dp, _ = render_rays(pred, origin, dirs, self.grid,
+                                self.free_class)
+        lg, dg, _ = render_rays(gt, origin, dirs, self.grid,
+                                self.free_class)
+        self.gt_cnt += np.bincount(lg, minlength=self.num_classes)
+        self.pred_cnt += np.bincount(lp, minlength=self.num_classes)
+        same = lp == lg
+        err = np.abs(dp - dg)
+        for j, thr in enumerate(self.thresholds):
+            m = same & (err < thr)
+            self.tp_cnt[j] += np.bincount(lg[m],
+                                          minlength=self.num_classes)
+
+    def compute(self) -> Dict[str, float]:
+        out = {}
+        mious = []
+        n = self.num_classes - 1   # free excluded (calc_metrics [:-1])
         with np.errstate(divide='ignore', invalid='ignore'):
-            iou = tp / denom
-        miou = float(np.nanmean(iou[:free_class]))
-        out[f'RayIoU@{thr}'] = round(miou * 100, 2)
-        mious.append(miou)
-    out['RayIoU'] = round(float(np.mean(mious)) * 100, 2)
-    return out
+            for j, thr in enumerate(self.thresholds):
+                iou = self.tp_cnt[j][:n] / (
+                    self.gt_cnt[:n] + self.pred_cnt[:n] - self.tp_cnt[j][:n])
+                miou = float(np.nanmean(iou))
+                out[f'RayIoU@{thr}'] = round(miou * 100, 2)
+                mious.append(miou)
+        out['RayIoU'] = round(float(np.mean(mious)) * 100, 2)
+        return out
+
+
+def ray_iou(pred: np.ndarray, gt: np.ndarray, dirs: np.ndarray,
+            grid: GridConfig, origin=LIDAR_ORIGIN,
+            thresholds: Sequence[float] = (1.0, 2.0, 4.0),
+            num_classes: int = 18, free_class: int = 17) -> Dict[str, float]:
+    """Single-sample RayIoU (exact traversal, official aggregation)."""
+    m = RayIoUMetric(grid, num_classes, free_class, thresholds)
+    m.update(pred, gt, dirs, origin)
+    return m.compute()

@@ -383,6 +383,101 @@ class FusionOcc(nn.Module):
         final, preds = jax.lax.scan(body, state, (frames, resets))
         return preds, final
 
+    def predict_streaming_batch(self, frames: Batch, state: StreamingState,
+                                resets=None, pool_idx=None,
+                                chunk: int = 4):
+        """Streaming inference over T frames with time FOLDED INTO BATCH.
+
+        Same math as predict_streaming_scan (equivalence tested in
+        tests/test_streaming.py), but restructured on the observation that
+        the temporal cache is the previous frame's CAMERA voxel feature —
+        which this very pass computes for every frame.  So within a block of
+        `chunk` frames, ``prev[t] = warp(voxel[t-1])`` has no serial
+        dependence: the LiDAR + camera branches and the fused BEV head run
+        batched over (chunk*B).  Measured on-chip, the sort-based index
+        builds and the batch-1 convolutions are launch/latency-bound, so
+        folding time amortizes them ~chunk-fold; only the sparse-conv
+        gathers scale linearly.
+
+        Blocks advance under ONE lax.scan (carrying the last frame's voxel
+        feature/pose), so the compiled program contains a single copy of the
+        model graph no matter how long the clip — python-unrolled chunk
+        loops at T=8 full scale overwhelmed the TPU compiler.
+
+        frames: Batch with leading (T, B, ...) axes and ego2global set;
+          T % chunk == 0.
+        pool_idx: optional pooling index computed on a (chunk*B)-folded
+          geometry (eval geometry is identical across frames, so one folded
+          index serves every block).
+        chunk: frames per block (camera encoder and BEV head run at
+          chunk*B); bounded by HBM.
+        Returns (preds (T, B, X, Y, Z) uint8, final state).
+        """
+        cfg = self.cfg
+        T = jax.tree_util.tree_leaves(frames)[0].shape[0]
+        B = state.valid.shape[0]
+        assert frames.ego2global is not None
+        assert cfg.num_adj == 1, 'streaming cache assumes one adjacent frame'
+        assert T % chunk == 0, (T, chunk)
+        G = T // chunk
+        if resets is None:
+            resets = jnp.zeros((T, B), bool)
+
+        # (T, B, ...) -> (G, chunk, B, ...) scan inputs
+        grouped = jax.tree_util.tree_map(
+            lambda a: a.reshape((G, chunk) + a.shape[1:]), frames)
+        resets_g = resets.reshape(G, chunk, B)
+
+        def body(carry, xs):
+            prev_voxel, prev_pose, prev_valid_c = carry
+            fg, rg = xs                       # leaves (chunk, B, ...)
+            fb = jax.tree_util.tree_map(
+                lambda a: a.reshape((chunk * B,) + a.shape[2:]), fg)
+
+            lidar = self._lidar_feat(fb, train=False)   # (chunk*B, ...)
+            voxel, _, _ = self._frame_voxel_feat(
+                fb.imgs[:, 0], fb.sensor2keyego[:, 0],
+                fb.sensor2keyego[:, 0], fb.intrins[:, 0],
+                fb.post_rots[:, 0], fb.post_trans[:, 0],
+                fb.bda, fb.sparse_depth, train=False, pool_idx=pool_idx)
+            vox_t = voxel.reshape((chunk, B) + voxel.shape[1:])
+
+            pose = fg.ego2global.astype(jnp.float32)    # (chunk, B, 4, 4)
+            prev_feat = jnp.concatenate([prev_voxel[None], vox_t[:-1]], 0)
+            pp = jnp.concatenate([prev_pose[None], pose[:-1]], 0)
+            pv = jnp.concatenate(
+                [prev_valid_c[None], jnp.ones((chunk - 1, B), bool)], 0)
+            pv = pv & ~rg
+            dst2src = jnp.einsum('tbij,tbjk->tbik', jnp.linalg.inv(pp), pose)
+
+            def f2(x):
+                return x.reshape((chunk * B,) + x.shape[2:])
+            warped = self._shift_bev(f2(prev_feat), f2(dst2src))
+            prev = jnp.where(
+                f2(pv)[:, None, None, None, None], warped, voxel)
+            fusion = jnp.concatenate(
+                [prev, voxel, lidar.astype(cfg.dtype)], axis=-1)
+            feats = self.bev_backbone(fusion, train=False)
+            x = self.bev_neck(feats, train=False)
+            x = nn.relu(self.final_conv(x))
+            x = jnp.transpose(x, (0, 3, 2, 1, 4))
+            h = nn.softplus(self.predicter_fc1(x))
+            logits = self.predicter_fc2(h).astype(jnp.float32)
+            pred = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+            pred = pred.reshape((chunk, B) + pred.shape[1:])
+
+            new_carry = (vox_t[-1], pose[-1], jnp.ones((B,), bool))
+            return new_carry, pred
+
+        carry0 = (state.voxel_feat,
+                  state.ego2global.astype(jnp.float32), state.valid)
+        (vox_last, _, _), preds = jax.lax.scan(body, carry0,
+                                               (grouped, resets_g))
+        new_state = StreamingState(
+            voxel_feat=vox_last, ego2global=frames.ego2global[-1],
+            valid=jnp.ones_like(state.valid))
+        return preds.reshape((T, B) + preds.shape[3:]), new_state
+
     def init_streaming_state(self, batch_size: int = 1) -> StreamingState:
         cfg = self.cfg
         gx, gy, gz = cfg.grid.grid_size

@@ -77,3 +77,35 @@ def test_int8_dot_matches_float():
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 0.02, rel
     assert got.dtype == np.float32
+
+
+def test_model_scale_int8_weight_ptq_ab():
+    """Model-scale PTQ A/B: full forward with int8-quantized weights
+    (camera backbone + neck + BEV trunk kernels) vs fp32 weights.
+
+    Bounds the deployment numerics: occupancy logit drift stays small
+    relative to logit scale and the argmax predictions agree on ~all
+    voxels (the reference ships TRT INT8 engines and reports metric
+    parity, precision_utils.py:30-131; this is the jit-native analog).
+    """
+    from fusionocc_tpu.quant import dequantize_tree
+    cfg = tiny_model_config()
+    model = FusionOcc(cfg)
+    batch = synthetic_batch(cfg, 1, 0, num_points=512)
+    variables = jax.jit(lambda b: model.init(
+        {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+        b, train=False))(batch)
+
+    q, meta = quantize_tree(variables['params'])
+    deq = dequantize_tree(q, meta, dtype=jnp.float32)
+    v_q = dict(variables, params=deq)
+
+    fwd = jax.jit(lambda v, b: model.apply(v, b, train=False)['occ_logits'])
+    ref = np.asarray(fwd(variables, batch))
+    got = np.asarray(fwd(v_q, batch))
+
+    scale = np.abs(ref).max()
+    drift = np.abs(got - ref).max()
+    assert drift / scale < 0.05, (drift, scale)
+    agree = (ref.argmax(-1) == got.argmax(-1)).mean()
+    assert agree > 0.995, agree

@@ -122,3 +122,132 @@ def test_official_lidar_ray_fan():
     assert pitch[0, 0] < -0.7 and pitch[-1, 0] >= 0.21
     # first ring: pi/2 - atan(1)
     assert abs(pitch[0, 0] + (np.pi / 2 - np.arctan(1.0))) < 1e-6
+
+
+def _dvr_reference_one(occ, origin_vox, dir_unit_vox, sizes, free_class=17):
+    """Sequential transcription of the official DVR traversal semantics
+    (stcocc/libs/dvr/dvr.cu:70-308) in float64: returns (label, exit-dist in
+    voxel-parameter units) for one ray.  Used only as the golden reference."""
+    vx, vy, vz = (int(np.floor(c)) for c in origin_vox)
+    dx, dy, dz = dir_unit_vox
+    step = [1 if d >= 0 else -1 for d in (dx, dy, dz)]
+    tmax, tdelta = [], []
+    for a, d in enumerate((dx, dy, dz)):
+        if d != 0:
+            b = [vx, vy, vz][a] + (0 if step[a] < 0 else 1)
+            tmax.append((b - origin_vox[a]) / d)
+            tdelta.append(step[a] / d)
+        else:
+            tmax.append(np.inf)
+            tdelta.append(np.inf)
+    path, dists = [], []
+    was_inside = False
+    for _ in range(10000):
+        inside = (0 <= vx < sizes[0] and 0 <= vy < sizes[1]
+                  and 0 <= vz < sizes[2])
+        if inside:
+            was_inside = True
+            path.append((vx, vy, vz))
+        elif was_inside:
+            break
+        if tmax[0] < tmax[1]:
+            if tmax[0] < tmax[2]:
+                _d = tmax[0]; vx += step[0]; tmax[0] += tdelta[0]
+            else:
+                _d = tmax[2]; vz += step[2]; tmax[2] += tdelta[2]
+        else:
+            if tmax[1] < tmax[2]:
+                _d = tmax[1]; vy += step[1]; tmax[1] += tdelta[1]
+            else:
+                _d = tmax[2]; vz += step[2]; tmax[2] += tdelta[2]
+        if inside:
+            dists.append(_d)
+    if not path:
+        return free_class, 0.0
+    # first occupied voxel on the path wins; else last traversed voxel
+    for (x, y, z), d in zip(path, dists):
+        if occ[x, y, z] != free_class:
+            return int(occ[x, y, z]), float(d)
+    x, y, z = path[-1]
+    return int(occ[x, y, z]), float(dists[-1])
+
+
+def test_render_rays_matches_official_traversal():
+    """Vectorized exact traversal == the official sequential DDA, per ray:
+    bit-equal labels and exit distances to 1e-9, on a random grid with the
+    official lidar-fan directions (subsampled)."""
+    from fusionocc_tpu.eval.ray_metrics import (LIDAR_ORIGIN,
+                                                generate_lidar_rays,
+                                                render_rays)
+    grid = _grid()
+    gx, gy, gz = grid.grid_size
+    rng = np.random.RandomState(7)
+    occ = np.full((gx, gy, gz), 17, np.uint8)
+    # ~2% random occupied voxels of random classes
+    m = rng.rand(gx, gy, gz) < 0.02
+    occ[m] = rng.randint(0, 17, m.sum())
+
+    dirs = generate_lidar_rays()[::37]          # 172 rays over all rings
+    labels, dists, entered = render_rays(occ, LIDAR_ORIGIN, dirs, grid)
+
+    lower = np.asarray(grid.lower_bound)
+    interval = np.asarray(grid.interval)
+    o_vox = (np.asarray(LIDAR_ORIGIN) - lower) / interval
+    for r in range(len(dirs)):
+        d_vox = dirs[r] / interval              # t parameter stays metres
+        lab, dist = _dvr_reference_one(occ, o_vox, d_vox,
+                                       (gx, gy, gz))
+        assert entered[r]
+        assert labels[r] == lab, (r, labels[r], lab)
+        # closed-form crossing distances vs the DDA's accumulated tmax
+        # differ only by float64 accumulation noise
+        np.testing.assert_allclose(dists[r], dist, rtol=0, atol=1e-6)
+
+
+def test_rayiou_metric_accumulates_like_calc_metrics():
+    """RayIoUMetric over two samples == the official calc_metrics run on the
+    concatenated per-ray (label, dist) lists (ray_metrics_occ3d.py:187-235)."""
+    from fusionocc_tpu.eval.ray_metrics import (RayIoUMetric, render_rays,
+                                                LIDAR_ORIGIN)
+    grid = _grid()
+    gx, gy, gz = grid.grid_size
+    rng = np.random.RandomState(3)
+    dirs = rays_from_points(rng.randn(500, 3).astype(np.float32),
+                            max_rays=256)
+    metric = RayIoUMetric(grid)
+    all_lp, all_dp, all_lg, all_dg = [], [], [], []
+    for s in range(2):
+        gt = np.full((gx, gy, gz), 17, np.uint8)
+        pred = np.full((gx, gy, gz), 17, np.uint8)
+        mg = rng.rand(gx, gy, gz) < 0.03
+        mp = rng.rand(gx, gy, gz) < 0.03
+        gt[mg] = rng.randint(0, 17, mg.sum())
+        pred[mp] = rng.randint(0, 17, mp.sum())
+        metric.update(pred, gt, dirs)
+        lp, dp, _ = render_rays(pred, LIDAR_ORIGIN, dirs, grid)
+        lg, dg, _ = render_rays(gt, LIDAR_ORIGIN, dirs, grid)
+        all_lp.append(lp); all_dp.append(dp)
+        all_lg.append(lg); all_dg.append(dg)
+
+    # official calc_metrics accumulation, transcribed
+    C = 18
+    gt_cnt = np.zeros(C); pred_cnt = np.zeros(C)
+    tp_cnt = np.zeros((3, C))
+    for lp, dp, lg, dg in zip(all_lp, all_dp, all_lg, all_dg):
+        for j, thr in enumerate((1, 2, 4)):
+            tp_mask = np.abs(dp - dg) < thr
+            for c in range(C):
+                if j == 0:
+                    gt_cnt[c] += (lg == c).sum()
+                    pred_cnt[c] += (lp == c).sum()
+                tp_cnt[j, c] += ((lg == c) & (lp == c) & tp_mask).sum()
+    np.testing.assert_array_equal(metric.gt_cnt, gt_cnt)
+    np.testing.assert_array_equal(metric.pred_cnt, pred_cnt)
+    np.testing.assert_array_equal(metric.tp_cnt, tp_cnt)
+    out = metric.compute()
+    with np.errstate(divide='ignore', invalid='ignore'):
+        ref = np.mean([np.nanmean((tp_cnt[j][:17]
+                                   / (gt_cnt[:17] + pred_cnt[:17]
+                                      - tp_cnt[j][:17])))
+                       for j in range(3)])
+    assert abs(out['RayIoU'] - round(float(ref) * 100, 2)) < 1e-9

@@ -199,3 +199,36 @@ def test_streaming_scan_matches_sequential():
         np.testing.assert_array_equal(np.asarray(preds[t]), seq_preds[t])
     np.testing.assert_allclose(np.asarray(s_scan.voxel_feat),
                                np.asarray(s_seq.voxel_feat), atol=1e-6)
+
+
+def test_streaming_batch_matches_scan():
+    """predict_streaming_batch (time folded into batch) == the scan path,
+    including a mid-clip reset and a chunk boundary (T=4, chunk=2)."""
+    cfg = tiny_model_config()
+    model = FusionOcc(cfg)
+    frames = [synthetic_batch(cfg, 1, s, num_points=512) for s in range(4)]
+    variables = jax.jit(lambda bb: model.init(
+        {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+        bb, train=False))(frames[0])
+    state = model.apply(variables, 1, method=FusionOcc.init_streaming_state)
+    resets = jnp.asarray(np.array([[False], [False], [True], [False]]))
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, 0), *frames)
+
+    scan_fn = jax.jit(lambda v, f, s, r: model.apply(
+        v, f, s, resets=r, method=FusionOcc.predict_streaming_scan))
+    ref_preds, s_ref = scan_fn(variables, stacked, state, resets)
+
+    for chunk in (2, 4):
+        bat_fn = jax.jit(lambda v, f, s, r, c=chunk: model.apply(
+            v, f, s, resets=r, chunk=c,
+            method=FusionOcc.predict_streaming_batch))
+        preds, s_got = bat_fn(variables, stacked, state, resets)
+        np.testing.assert_array_equal(np.asarray(preds),
+                                      np.asarray(ref_preds))
+        # conv accumulation order shifts with the folded batch size:
+        # features agree to ~1e-4 relative, predictions bit-exactly
+        np.testing.assert_allclose(np.asarray(s_got.voxel_feat),
+                                   np.asarray(s_ref.voxel_feat), rtol=1e-3,
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(s_got.valid),
+                                      np.asarray(s_ref.valid))
