@@ -80,6 +80,11 @@ class SwinConfig:
     # head) stages have few windows and tiny score tensors.  8 fuses the
     # two high-resolution stages that carry ~80% of the attention traffic.
     fused_attn_max_heads: int = 8
+    # int8 serving: route the transformer's Dense layers (qkv/proj/mlp/
+    # patch-merge) through dynamic int8 MXU matmuls (quant.int8_dot_general)
+    # — the analog of the reference's TRT INT8 engines (tools/test.py
+    # --int8-engines).  Toggled at eval time; parameters are unchanged.
+    int8_dense: bool = False
 
     @property
     def num_features(self) -> Tuple[int, ...]:

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SwinConfig
+from ..quant import int8_dot_general
 
 Dtype = Any
 
@@ -72,10 +73,12 @@ class WindowMSA(nn.Module):
     fused: bool = False
     # (nWh, nWw, shift) static window-grid geometry for the fused kernel
     win_geom: Optional[Tuple[int, int, int]] = None
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
         # x: (nW_total, N, C); mask: (nW, N, N) additive or None
+        dg = int8_dot_general if self.int8 else None
         Bn, N, C = x.shape
         w = self.window_size
         head_dim = C // self.num_heads
@@ -90,7 +93,8 @@ class WindowMSA(nn.Module):
         bias = jnp.transpose(bias, (2, 0, 1)).astype(jnp.float32)
 
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
-                       param_dtype=jnp.float32, name='qkv')(x)
+                       param_dtype=jnp.float32, dot_general=dg,
+                       name='qkv')(x)
         if self.fused and self.win_geom is not None:
             # the kernel rebuilds the cyclic-shift mask internally from
             # win_geom; a caller-supplied mask would be silently wrong
@@ -101,7 +105,7 @@ class WindowMSA(nn.Module):
             out = fused_window_attention(q, k, v, bias, nWh, nWw, w,
                                          shift, self.num_heads)
             return nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
-                            name='proj')(out)
+                            dot_general=dg, name='proj')(out)
         qkv = qkv.reshape(Bn, N, 3, self.num_heads, head_dim)
         q, k, v = (qkv[:, :, i] for i in range(3))
         # scores accumulate fp32 on the MXU but are STORED in the compute
@@ -123,7 +127,7 @@ class WindowMSA(nn.Module):
         out = jnp.einsum('bhnm,bmhd->bnhd', attn, v)
         out = out.reshape(Bn, N, C)
         return nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
-                        name='proj')(out)
+                        dot_general=dg, name='proj')(out)
 
 
 class SwinBlock(nn.Module):
@@ -136,6 +140,7 @@ class SwinBlock(nn.Module):
     drop_path_rate: float
     dtype: Dtype = jnp.float32
     fused_attn: bool = False
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, hw_shape, deterministic: bool = True):
@@ -173,7 +178,7 @@ class SwinBlock(nn.Module):
         wins = WindowMSA(C, self.num_heads, w, self.qkv_bias,
                          dtype=self.dtype, fused=self.fused_attn,
                          win_geom=(Hp // w, Wp // w, shift),
-                         name='attn')(wins, attn_mask)
+                         int8=self.int8, name='attn')(wins, attn_mask)
         y = window_reverse(wins, w, B, Hp, Wp)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
@@ -188,11 +193,13 @@ class SwinBlock(nn.Module):
         shortcut = x
         y = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
                          name='norm2')(x.astype(jnp.float32)).astype(self.dtype)
+        dg = int8_dot_general if self.int8 else None
         y = nn.Dense(self.mlp_ratio * C, dtype=self.dtype,
-                     param_dtype=jnp.float32, name='ffn_fc1')(y)
+                     param_dtype=jnp.float32, dot_general=dg,
+                     name='ffn_fc1')(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
-                     name='ffn_fc2')(y)
+                     dot_general=dg, name='ffn_fc2')(y)
         if self.drop_path_rate > 0 and not deterministic:
             from .layers import drop_path
             y = drop_path(y, self.drop_path_rate, deterministic,
@@ -204,6 +211,7 @@ class PatchMerging(nn.Module):
     """mmcv unfold-style 2x2 merge: LN(4C) then Linear(4C -> out, no bias)."""
     out_channels: int
     dtype: Dtype = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, hw_shape):
@@ -222,7 +230,10 @@ class PatchMerging(nn.Module):
                               name='norm')(
             merged.astype(jnp.float32)).astype(self.dtype)
         merged = nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype,
-                          param_dtype=jnp.float32, name='reduction')(merged)
+                          param_dtype=jnp.float32,
+                          dot_general=(int8_dot_general if self.int8
+                                       else None),
+                          name='reduction')(merged)
         return merged, (Ho, Wo)
 
 
@@ -265,6 +276,7 @@ class SwinTransformer(nn.Module):
                     dtype=self.dtype,
                     fused_attn=(cfg.fused_attn and cfg.num_heads[i]
                                 <= cfg.fused_attn_max_heads),
+                    int8=cfg.int8_dense,
                     name=f'stage{i}_block{j}')(
                         blocks_out, hw, deterministic)
                 block_id += 1
@@ -278,5 +290,6 @@ class SwinTransformer(nn.Module):
                 outs.append(y.reshape(B, hw[0], hw[1], dims[i]))
             if i < num_stages - 1:
                 x, hw = PatchMerging(dims[i + 1], dtype=self.dtype,
+                                     int8=cfg.int8_dense,
                                      name=f'downsample{i}')(blocks_out, hw)
         return outs

@@ -55,3 +55,54 @@ def lookup_rows(keys: jnp.ndarray, queries: jnp.ndarray,
     out = jnp.zeros((m,), jnp.int32)
     return out.at[jnp.where(is_key, m, id_s)].set(
         row.astype(jnp.int32), mode='drop')
+
+
+def lookup_rows3(keys: jnp.ndarray, queries: jnp.ndarray,
+                 sentinel: int) -> jnp.ndarray:
+    """Row indices of (q-1, q, q+1) for every query q, in one merge sort.
+
+    Returns (m, 3) int32 with miss -> sentinel.  Same duplicate-sentinel
+    padding contract as lookup_rows, plus: a query EQUAL to the duplicated
+    padding value gets don't-care results for all three taps (its q-1 tap
+    cannot see a real key even if one exists) — callers must mask such
+    queries, as the sparse-conv neighbor builder does.
+
+    The sparse-conv voxel keys are z-fastest lexicographic, so the three
+    z-taps of a kernel column are CONSECUTIVE key values — answering all
+    three from one merged query cuts the dominant neighbor-build sort
+    volume ~3x vs querying every tap.  Mechanics on top of lookup_rows'
+    merge: the forward fill gives the last key <= q (row ``krow``); a
+    second forward fill over a carried shifted-key array gives
+    keys[krow-1]; a backward min-fill gives keys[krow+1].  Those three
+    values decide all hits locally:
+
+      q   in keys  <=>  ffill == q                      -> krow
+      q-1 in keys  <=>  ffill == q-1 (q itself absent)  -> krow
+                     or ffill == q and prevfill == q-1  -> krow - 1
+      q+1 in keys  <=>  backfill == q+1                 -> krow + 1
+    """
+    n = keys.shape[0]
+    m = queries.shape[0]
+    NEG = jnp.iinfo(keys.dtype).min
+    POS = jnp.iinfo(keys.dtype).max
+    vals = jnp.concatenate([keys, queries])
+    ids = jnp.concatenate([jnp.full((n,), -1, jnp.int32),
+                           jnp.arange(m, dtype=jnp.int32)])
+    prev_keys = jnp.concatenate([jnp.full((1,), NEG, keys.dtype), keys[:-1]])
+    aux = jnp.concatenate([prev_keys, jnp.zeros((m,), keys.dtype)])
+    v_s, id_s, a_s = jax.lax.sort((vals, ids, aux), num_keys=1)
+    is_key = id_s < 0
+    krow = jnp.cumsum(is_key.astype(jnp.int32)) - 1
+    ffill = jax.lax.cummax(jnp.where(is_key, v_s, NEG))    # keys[krow]
+    pfill = jax.lax.cummax(jnp.where(is_key, a_s, NEG))    # keys[krow-1]
+    bfill = jnp.flip(jax.lax.cummin(                       # keys[krow+1]
+        jnp.flip(jnp.where(is_key, v_s, POS))))
+    hit0 = (ffill == v_s) & (krow >= 0)
+    idx0 = jnp.where(hit0, krow, sentinel)
+    idx_m1 = jnp.where(
+        ffill == v_s - 1, krow,
+        jnp.where(hit0 & (pfill == v_s - 1), krow - 1, sentinel))
+    idx_p1 = jnp.where(bfill == v_s + 1, krow + 1, sentinel)
+    res = jnp.stack([idx_m1, idx0, idx_p1], axis=-1).astype(jnp.int32)
+    out = jnp.zeros((m, 3), jnp.int32)
+    return out.at[jnp.where(is_key, m, id_s)].set(res, mode='drop')

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .search import lookup_rows, searchsorted
+from .search import lookup_rows3, searchsorted
 from .voxelize import SparseVoxels, coords_to_key, key_to_coords
 
 KERNEL_OFFSETS = np.stack(np.meshgrid(
@@ -37,17 +37,9 @@ KERNEL_OFFSETS = np.stack(np.meshgrid(
     axis=-1).reshape(27, 3)   # (27, 3) of (dx, dy, dz) in {0,1,2}
 
 
-def _lookup(in_keys: jnp.ndarray, queries: jnp.ndarray,
-            sentinel_idx: int) -> jnp.ndarray:
-    """Find each query key in the sorted key array; miss -> sentinel_idx.
-
-    One merge sort with found-ness carried through (ops/search.lookup_rows):
-    measured 100 -> 55 ms for the stage-0 neighbor build (3.5M queries over
-    131k keys) vs sort-search + validation gather.  Padding slots duplicate
-    the sentinel key; a query hitting one resolves to a padded row whose
-    features are identically zero, so the conv contribution is unchanged.
-    """
-    return lookup_rows(in_keys, queries, sentinel_idx)
+XY_OFFSETS = np.stack(np.meshgrid(
+    np.arange(3), np.arange(3), indexing='ij'),
+    axis=-1).reshape(9, 2)    # (9, 2) of (dx, dy); column k = g*3 + dz
 
 
 def _build_index_one(out_coords, out_mask, in_keys,
@@ -55,32 +47,34 @@ def _build_index_one(out_coords, out_mask, in_keys,
                      stride: int, padding: int) -> jnp.ndarray:
     """Neighbor map (V_out, 27) for one sample; miss/invalid -> V_in.
 
-    For submanifold convs (stride 1, pad 1) the center tap is the voxel
-    itself, so only the 26 true neighbors go through the merge lookup and
-    the self row is spliced back in — 1/27 less sort volume per build.
+    Keys are z-fastest lexicographic, so the 3 z-taps of each of the 9
+    (dx, dy) kernel columns are CONSECUTIVE key values: one merged base
+    query per column answers all three taps (ops.search.lookup_rows3) —
+    9 instead of 27 merge queries per output voxel, ~3x less sort volume
+    in the dominant neighbor-build cost.
     """
     v_in = in_keys.shape[0]
     v_out = out_coords.shape[0]
-    subm = stride == 1 and padding == 1
-    taps = [k for k in range(27) if not (subm and k == 13)]
-    offs = jnp.asarray(KERNEL_OFFSETS[taps], jnp.int32)     # (27|26, 3)
-    # input position contributing to output o at kernel tap k:
-    #   in = o * stride + k - padding
-    pos = (out_coords[:, None, :] * stride + offs[None] - padding)
+    assert padding == 1, padding
     sx, sy, sz = shape_in
-    ok = (out_mask[:, None]
-          & (pos[..., 0] >= 0) & (pos[..., 0] < sx)
-          & (pos[..., 1] >= 0) & (pos[..., 1] < sy)
-          & (pos[..., 2] >= 0) & (pos[..., 2] < sz))
-    qkey = coords_to_key(pos, shape_in, ok)                 # (V, 27|26)
-    nbr = _lookup(in_keys, qkey.reshape(-1), v_in)
-    nbr = nbr.reshape(v_out, len(taps))
-    if subm:
-        self_idx = jnp.where(out_mask,
-                             jnp.arange(v_out, dtype=jnp.int32), v_in)
-        nbr = jnp.concatenate(
-            [nbr[:, :13], self_idx[:, None], nbr[:, 13:]], axis=1)
-    return nbr
+    offs2 = jnp.asarray(XY_OFFSETS, jnp.int32)              # (9, 2)
+    # input position contributing to output o at kernel tap (dx, dy, dz):
+    #   in = o * stride + (dx, dy, dz) - 1; base query is the dz=1 tap
+    #   (in_z = z*stride, always in range since z*stride <= shape_in-1).
+    xy = out_coords[:, None, :2] * stride + offs2[None] - 1  # (V, 9, 2)
+    zb = (out_coords[:, 2] * stride)[:, None]                # (V, 1)
+    ok_xy = (out_mask[:, None]
+             & (xy[..., 0] >= 0) & (xy[..., 0] < sx)
+             & (xy[..., 1] >= 0) & (xy[..., 1] < sy))        # (V, 9)
+    base_key = jnp.where(ok_xy, (xy[..., 0] * sy + xy[..., 1]) * sz + zb,
+                         sx * sy * sz).astype(jnp.int32)
+    idx3 = lookup_rows3(in_keys, base_key.reshape(-1), v_in)
+    nbr = idx3.reshape(v_out, 9, 3)
+    # per-tap z validity: tap dz in {0,1,2} hits in_z = z*stride + dz - 1
+    zt = zb[:, :, None] + jnp.arange(3, dtype=jnp.int32)[None, None, :] - 1
+    ok = ok_xy[:, :, None] & (zt >= 0) & (zt < sz)
+    nbr = jnp.where(ok, nbr, v_in)
+    return nbr.reshape(v_out, 27)
 
 
 def build_subm_index(sp: SparseVoxels,

@@ -109,3 +109,32 @@ def test_model_scale_int8_weight_ptq_ab():
     assert drift / scale < 0.05, (drift, scale)
     agree = (ref.argmax(-1) == got.argmax(-1)).mean()
     assert agree > 0.995, agree
+
+
+def test_int8_dense_serving_ab():
+    """Full forward with the Swin Dense layers routed through real int8 MXU
+    matmuls (cfg.swin.int8_dense, quant.int8_dot_general) vs the bf16/fp32
+    path: occupancy logits drift stays bounded and predictions agree on
+    nearly all voxels — the numerics side of the reference's TRT INT8
+    engine injection (tools/test.py --int8-engines)."""
+    import dataclasses
+    cfg = tiny_model_config()
+    cfg_q = dataclasses.replace(
+        cfg, swin=dataclasses.replace(cfg.swin, int8_dense=True))
+    batch = synthetic_batch(cfg, 1, 0, num_points=512)
+    model = FusionOcc(cfg)
+    variables = jax.jit(lambda b: model.init(
+        {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+        b, train=False))(batch)
+    model_q = FusionOcc(cfg_q)
+
+    ref = np.asarray(jax.jit(lambda v, b: model.apply(
+        v, b, train=False)['occ_logits'])(variables, batch))
+    got = np.asarray(jax.jit(lambda v, b: model_q.apply(
+        v, b, train=False)['occ_logits'])(variables, batch))
+
+    scale = np.abs(ref).max()
+    drift = np.abs(got - ref).max()
+    assert drift / scale < 0.08, (drift, scale)
+    agree = (ref.argmax(-1) == got.argmax(-1)).mean()
+    assert agree > 0.99, agree

@@ -49,6 +49,10 @@ def main():
     ap.add_argument('--int8-weights', action='store_true',
                     help='weight-only int8 post-training quantization '
                          '(the reference --int8-engines analog)')
+    ap.add_argument('--int8', action='store_true',
+                    help='serve the image backbone with real int8 MXU '
+                         'matmuls (dynamic activation quantization; the '
+                         'reference --int8-engines analog at engine level)')
     args = ap.parse_args()
 
     import jax
@@ -66,6 +70,11 @@ def main():
     if args.fp32:
         import dataclasses
         model_cfg = dataclasses.replace(model_cfg, compute_dtype='float32')
+    if args.int8:
+        import dataclasses
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            swin=dataclasses.replace(model_cfg.swin, int8_dense=True))
 
     if args.synthetic:
         n = args.max_samples or 4
