@@ -15,8 +15,11 @@ from XLA's compiled cost analysis, so both deployment modes are visible.
 
 vs_baseline: the reference publishes no FusionOcc throughput; the
 north-star target (BASELINE.json) is >=5x an A100's frames/sec/chip.
-Published FusionOcc-class camera+lidar occupancy models run ~1-3 fps on
-A100-class GPUs; we normalize against 2.0 fps so vs_baseline = fps / 2.0.
+The 2.0 fps denominator is a derived A100 bound reconstructed from the
+reference's workload constants — see BENCH.md "vs_baseline" for the
+component-by-component derivation (camera ~100 ms at 35% MFU + spconv
+stack ~250-400 ms + BEV head ~50 ms => ~2-2.5 fps; we use the favorable
+end).
 
 The tunnel-attached TPU is a shared resource with bursty contention
 (identical iterations vary 0.09s..5s); we measure several bursts and report
@@ -67,12 +70,16 @@ def main():
     jax.config.update('jax_compilation_cache_dir', '/tmp/fusionocc_jax_cache')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
-    from fusionocc_tpu.config import full_model_config
+    from fusionocc_tpu.config import full_model_config, tiny_model_config
     from fusionocc_tpu.data.synthetic import synthetic_batch
     from fusionocc_tpu.models.fusion_occ import (FusionOcc,
                                                  frame_pooling_index)
 
-    cfg = full_model_config()
+    # FUSIONOCC_BENCH_TINY=1: smoke-test the bench flow itself on small
+    # shapes (CI/CPU); numbers are meaningless there
+    import os
+    cfg = (tiny_model_config() if os.environ.get('FUSIONOCC_BENCH_TINY')
+           else full_model_config())
     model = FusionOcc(cfg)
     # device-resident inputs: serving holds/streams tensors on device; a
     # fresh ~100 MB host->device copy through the shared tunnel per timed
@@ -116,6 +123,43 @@ def main():
     np.asarray(run_scan(None))
     dt_scan = burst_best_mean(run_scan, [None], iters=4) / SCAN_T
 
+    # --- time-folded streaming (chunk frames batched per block) -----------
+    # Measured on-chip the sort-based index builds are latency-bound (B=8
+    # costs ~B=1), so folding the clip's frames into the batch axis
+    # amortizes the LiDAR branch's dominant fixed costs ~chunk-fold.
+    dt_batched = {}
+    for chunk in (4, 8):
+        try:
+            def folded_idx(stk, c=chunk):
+                def fold(a):
+                    return a[:c].reshape((-1,) + a.shape[2:])
+                return frame_pooling_index(
+                    cfg, fold(stk.sensor2keyego)[:, 0], fold(stk.intrins)[:, 0],
+                    fold(stk.post_rots)[:, 0], fold(stk.post_trans)[:, 0],
+                    fold(stk.bda))
+            pool_c = trim_pooling_index(jax.block_until_ready(
+                jax.jit(folded_idx)(stacked)))
+
+            @jax.jit
+            def bat_step(v, f, s, r, pi, c=chunk):
+                return model.apply(v, f, s, resets=r, pool_idx=pi, chunk=c,
+                                   method=FusionOcc.predict_streaming_batch)
+
+            sb = [state0]
+
+            def run_bat(_):
+                preds, sb[0] = bat_step(variables, stacked, sb[0], resets,
+                                        pool_c)
+                return preds
+
+            np.asarray(run_bat(None))
+            np.asarray(run_bat(None))
+            dt_batched[chunk] = burst_best_mean(
+                run_bat, [None], iters=4) / SCAN_T
+        except Exception as e:            # compile/oom: report what works
+            print(f'# batched chunk={chunk} failed: {type(e).__name__}',
+                  flush=True)
+
     # --- single-frame streaming latency mode ------------------------------
     @jax.jit
     def one_step(v, b, s, pi):
@@ -154,23 +198,32 @@ def main():
                              pool_idx).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops_per_frame = float(ca.get('flops', 0.0)) / SCAN_T
-        peak = 197e12  # v5e bf16 peak FLOP/s
-        mfu = flops_per_frame / dt_scan / peak
     except Exception:
         pass
 
-    fps = 1.0 / dt_scan
+    # headline = best streaming deployment mode (scan vs time-folded)
+    candidates = {'scan': dt_scan}
+    for c, dt in dt_batched.items():
+        candidates[f'batched_chunk{c}'] = dt
+    mode = min(candidates, key=candidates.get)
+    dt_best = candidates[mode]
+    fps = 1.0 / dt_best
+    if flops_per_frame is not None:
+        mfu = flops_per_frame / dt_best / 197e12  # v5e bf16 peak FLOP/s
     out = {
         'metric': 'fusionocc_camera_lidar_occupancy_infer_fps_per_chip',
         'value': round(fps, 3),
         'unit': 'frames/sec',
         'vs_baseline': round(fps / A100_REFERENCE_FPS, 3),
+        'streaming_mode': mode,
         'streaming_clip_ms_per_frame': round(dt_scan * 1000, 1),
         'streaming_single_ms': round(dt_one * 1000, 1),
         'streaming_single_fps': round(1.0 / dt_one, 3),
         'twopass_ms': round(dt_two * 1000, 1),
         'twopass_fps': round(1.0 / dt_two, 3),
     }
+    for c, dt in dt_batched.items():
+        out[f'batched_chunk{c}_ms_per_frame'] = round(dt * 1000, 1)
     if mfu is not None:
         out['tflops_per_frame'] = round(flops_per_frame / 1e12, 2)
         out['mfu'] = round(mfu, 4)

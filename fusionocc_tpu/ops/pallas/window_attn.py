@@ -106,19 +106,35 @@ def _attn_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, heads: int,
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
+def _head_block(heads: int, head_dim: int) -> int:
+    """Heads per grid step: smallest head count whose C-slice is
+    lane-aligned (a multiple of 128).  Falls back to all heads (full-C
+    blocks) when no aligned divisor exists — Pallas TPU blocks must be
+    (8k, 128m) or the full array dims in the last two axes."""
+    for hb in range(1, heads + 1):
+        if heads % hb == 0 and (hb * head_dim) % 128 == 0:
+            return hb
+    return heads
+
+
 def _forward(q, k, v, bias, nWh, nWw, w, shift, heads):
     bn, n, c = q.shape
     head_dim = c // heads
     scale = head_dim ** -0.5
+    # Head-blocked 2-D grid: (window, head-group).  The kernel body unrolls
+    # only `hb` matmul pairs regardless of the stage's head count, so Mosaic
+    # compile time stays flat for the 16/32-head late stages (Swin-B
+    # head_dim is 32 at every stage -> hb = 4).
+    hb = _head_block(heads, head_dim)
     kern = functools.partial(
-        _attn_kernel, heads=heads, head_dim=head_dim, scale=scale,
+        _attn_kernel, heads=hb, head_dim=head_dim, scale=scale,
         nWh=nWh, nWw=nWw, w=w, shift=shift)
-    blk = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0))
+    blk = pl.BlockSpec((1, n, hb * head_dim), lambda i, h: (i, 0, h))
     return pl.pallas_call(
         kern,
-        grid=(bn,),
+        grid=(bn, heads // hb),
         in_specs=[blk, blk, blk,
-                  pl.BlockSpec((heads, n, n), lambda i: (0, 0, 0))],
+                  pl.BlockSpec((hb, n, n), lambda i, h: (h, 0, 0))],
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((bn, n, c), q.dtype),
         interpret=_use_interpret(),

@@ -118,3 +118,24 @@ def test_swin_fused_flag_end_to_end():
     for a, b in zip(outs_f, outs_u):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_fused_head_blocked_grid():
+    """Swin-B-shaped heads (head_dim 32, 8 heads -> 4-head groups, 2 grid
+    steps along the head axis) must match the reference bit-for-bit with
+    the single-group path."""
+    import jax
+    w, heads, c = 4, 8, 256           # head_dim 32 -> hb 4 -> 2 head groups
+    nWh, nWw, b, shift = 2, 2, 1, 2
+    n = w * w
+    bn = b * nWh * nWw
+    q, k, v = (jax.random.normal(jax.random.PRNGKey(i), (bn, n, c),
+                                 jnp.float32) for i in range(3))
+    bias = 0.1 * jax.random.normal(jax.random.PRNGKey(5), (heads, n, n),
+                                   jnp.float32)
+    from fusionocc_tpu.ops.pallas.window_attn import _head_block
+    assert _head_block(heads, c // heads) == 4
+    got = fused_window_attention(q, k, v, bias, nWh, nWw, w, shift, heads)
+    want = _reference_out(q, k, v, bias, nWh, nWw, w, shift, heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)

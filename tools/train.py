@@ -44,6 +44,17 @@ def main():
     ap.add_argument('--render-interval', type=int, default=0,
                     help='log a BEV render of the EMA prediction every N '
                          'steps to TensorBoard/PNG (0 = off)')
+    # multi-host launch (the dist_train.sh / slurm_train.sh analog,
+    # tools/launch_multihost.sh): one process per host, same command on
+    # every host.  Defaults read SLURM variables so `srun python
+    # tools/train.py ...` needs no explicit flags.
+    ap.add_argument('--coordinator', default=os.environ.get(
+        'FUSIONOCC_COORDINATOR'),
+        help='host:port of process 0 (multi-host only)')
+    ap.add_argument('--num-processes', type=int, default=int(os.environ.get(
+        'SLURM_NTASKS', os.environ.get('FUSIONOCC_NUM_PROCESSES', 1))))
+    ap.add_argument('--process-id', type=int, default=int(os.environ.get(
+        'SLURM_PROCID', os.environ.get('FUSIONOCC_PROCESS_ID', 0))))
     args = ap.parse_args()
 
     import dataclasses
@@ -54,9 +65,12 @@ def main():
                                       full_model_config, tiny_model_config)
     from fusionocc_tpu.configs import get_config
     from fusionocc_tpu.data.synthetic import synthetic_batch
-    from fusionocc_tpu.parallel.mesh import data_mesh
+    from fusionocc_tpu.parallel.mesh import data_mesh, init_distributed
     from fusionocc_tpu.train import checkpoint as ckpt
     from fusionocc_tpu.train.loop import create_train_state, make_jitted_steps
+
+    # must run before any other jax call so the backend sees every host
+    init_distributed(args.coordinator, args.num_processes, args.process_id)
 
     if args.config:
         preset = get_config(args.config)
