@@ -111,7 +111,8 @@ def render_rays(occ, origin, dirs, grid: GridConfig, free_class: int = 17):
             tmax = np.where(dva == 0, np.inf, (b0 - o_vox[a]) / dva)
             tdelta = np.where(dva == 0, np.inf, np.abs(1.0 / dva))
         i = np.arange(Ks[a], dtype=np.float64)
-        ts_list.append(tmax[:, None] + i[None, :] * tdelta[:, None])
+        with np.errstate(invalid='ignore'):   # inf tdelta for axis-0 dirs
+            ts_list.append(tmax[:, None] + i[None, :] * tdelta[:, None])
         axis_list.append(np.full((R, Ks[a]), a, np.int64))
         step_list.append(np.broadcast_to(step[:, None], (R, Ks[a])))
 
