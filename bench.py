@@ -37,29 +37,9 @@ SCAN_T = 8
 
 
 def burst_best_mean(run, inputs, iters=8, bursts=4, sleep=2.0):
-    """Best-burst mean seconds per call.
-
-    Each burst ENQUEUES `iters` calls and then fetches a SCALAR reduction
-    of the last output: the device executes programs in launch order, so
-    the fetch is a barrier for the whole burst.  (block_until_ready alone
-    returns early on this tunnel backend when outputs are small; fetching
-    a full output tensor would add its ~12 MB/s transfer to the measured
-    time, so only 4 bytes cross the tunnel.)
-    """
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    reduce = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
-    means = []
-    for _ in range(bursts):
-        t0 = time.perf_counter()
-        out = None
-        for i in range(iters):
-            out = run(inputs[i % len(inputs)])
-        np.asarray(reduce(jax.tree_util.tree_leaves(out)[0]))  # barrier
-        means.append((time.perf_counter() - t0) / iters)
-        time.sleep(sleep)
-    return min(means)
+    """Shared barrier-fetch methodology: fusionocc_tpu/utils/timing.py."""
+    from fusionocc_tpu.utils.timing import burst_best_mean as bbm
+    return bbm(run, inputs, iters=iters, bursts=bursts, sleep=sleep)
 
 
 def main():

@@ -223,8 +223,9 @@ class NuScenesOccDataset:
             sparse_depth[n] = native.zbuffer_depth(
                 uvd, H, W, (cfg.grid.depth[0], cfg.grid.depth[1]))
 
-        points, points_mask = pl.pad_points(ego_pts,
-                                            cfg.lidar.point_capacity)
+        points, points_mask = pl.pad_points(
+            ego_pts, cfg.lidar.point_capacity,
+            rng=rng if self.train else None)
         return dict(
             imgs=imgs, sensor2keyego=s2k, intrins=intrins,
             post_rots=post_rots, post_trans=post_trans, bda=bda,

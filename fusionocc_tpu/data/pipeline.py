@@ -251,11 +251,26 @@ def project_points_to_cam(points_ego_or_lidar: np.ndarray,
 # Batch assembly
 # ---------------------------------------------------------------------------
 
-def pad_points(points: np.ndarray, capacity: int
+def pad_points(points: np.ndarray, capacity: int,
+               rng: np.random.RandomState | None = None
                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad/limit a point cloud to the static capacity.
+
+    Overflow is UNIFORMLY SUBSAMPLED, not tail-truncated: points arrive
+    ordered by sweep (fuse_adjacent_sweeps), so dropping the tail would
+    discard whole late sweeps on dense scenes.  rng=None keeps a
+    deterministic every-k-th subsample (eval)."""
     P = len(points)
-    if P >= capacity:
-        out = points[:capacity]
+    if P > capacity:
+        if rng is not None:
+            keep = rng.choice(P, capacity, replace=False)
+            keep.sort()
+        else:
+            keep = np.linspace(0, P - 1, capacity).astype(np.int64)
+        out = points[keep]
+        mask = np.ones(capacity, bool)
+    elif P == capacity:
+        out = points
         mask = np.ones(capacity, bool)
     else:
         out = np.concatenate(

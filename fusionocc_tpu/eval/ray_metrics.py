@@ -38,9 +38,16 @@ import numpy as np
 from ..config import GridConfig
 
 
-def rays_from_points(points: np.ndarray, origin=(0.0, 0.0, 0.0),
+# official lidar origin in the key ego frame (ray_metrics_occ3d.py:111)
+LIDAR_ORIGIN = (0.9858, 0.0, 1.8402)
+
+
+def rays_from_points(points: np.ndarray, origin=LIDAR_ORIGIN,
                      max_rays: int = 8192, seed: int = 0) -> np.ndarray:
-    """Unit ray directions from `origin` through (a subsample of) points."""
+    """Unit ray directions from `origin` through (a subsample of) points.
+
+    The default origin matches render_rays / ray_iou so that rays built
+    from lidar returns actually pass through those returns when cast."""
     rng = np.random.RandomState(seed)
     pts = points[:, :3] - np.asarray(origin)
     norm = np.linalg.norm(pts, axis=1)
@@ -72,10 +79,6 @@ def generate_lidar_rays() -> np.ndarray:
             rays.append((np.cos(p) * np.cos(az), np.cos(p) * np.sin(az),
                          np.sin(p)))
     return np.asarray(rays, np.float32)
-
-# official lidar origin in the key ego frame (ray_metrics_occ3d.py:111)
-LIDAR_ORIGIN = (0.9858, 0.0, 1.8402)
-
 
 def render_rays(occ, origin, dirs, grid: GridConfig, free_class: int = 17):
     """Exact-traversal ray rendering of an (X, Y, Z) class grid.
@@ -190,11 +193,14 @@ class RayIoUMetric:
     def compute(self) -> Dict[str, float]:
         out = {}
         mious = []
-        n = self.num_classes - 1   # free excluded (calc_metrics [:-1])
+        # free class excluded from the mean (calc_metrics drops it via
+        # [:-1]; honor free_class wherever it sits)
+        sem = np.arange(self.num_classes) != self.free_class
         with np.errstate(divide='ignore', invalid='ignore'):
             for j, thr in enumerate(self.thresholds):
-                iou = self.tp_cnt[j][:n] / (
-                    self.gt_cnt[:n] + self.pred_cnt[:n] - self.tp_cnt[j][:n])
+                iou = self.tp_cnt[j][sem] / (
+                    self.gt_cnt[sem] + self.pred_cnt[sem]
+                    - self.tp_cnt[j][sem])
                 miou = float(np.nanmean(iou))
                 out[f'RayIoU@{thr}'] = round(miou * 100, 2)
                 mious.append(miou)

@@ -125,3 +125,27 @@ def test_pad_points_shapes():
     assert out.shape == (16, 5) and mask.sum() == 10
     out2, mask2 = pl.pad_points(pts, 4)
     assert out2.shape == (4, 5) and mask2.all()
+
+
+def test_pad_points_overflow_subsamples_uniformly():
+    """Overflow must be subsampled across the whole cloud, not
+    tail-truncated (points arrive ordered by sweep, so truncation would
+    drop whole late sweeps)."""
+    import numpy as np
+    from fusionocc_tpu.data import pipeline as pl
+    pts = np.arange(1000, dtype=np.float32).reshape(-1, 1).repeat(5, axis=1)
+    out, mask = pl.pad_points(pts, 256)                      # deterministic
+    assert mask.all()
+    # every-k-th subsample spans the full index range
+    assert out[0, 0] == 0 and out[-1, 0] == 999
+    assert np.all(np.diff(out[:, 0]) > 0)
+    rng = np.random.RandomState(0)
+    out_r, mask_r = pl.pad_points(pts, 256, rng=rng)         # train
+    assert mask_r.all()
+    # random subsample also spans the cloud (p(fail) astronomically small)
+    assert out_r[:, 0].max() > 900 and out_r[:, 0].min() < 100
+    assert np.all(np.diff(out_r[:, 0]) > 0)                  # sorted, unique
+    # underflow unchanged: zero-pad + prefix mask
+    out_u, mask_u = pl.pad_points(pts[:10], 16)
+    assert mask_u.sum() == 10 and not mask_u[10:].any()
+    assert np.all(out_u[10:] == 0)

@@ -42,7 +42,8 @@ def main():
 
     from fusionocc_tpu.config import GridConfig
     from fusionocc_tpu.eval.metrics import OccupancyMetric, fscore
-    from fusionocc_tpu.eval.ray_metrics import ray_iou, rays_from_points
+    from fusionocc_tpu.eval.ray_metrics import (RayIoUMetric,
+                                                rays_from_points)
 
     with open(args.ann_file, 'rb') as f:
         data = pickle.load(f)
@@ -53,7 +54,8 @@ def main():
     assert pred_files, f'no predictions under {args.pred_dir}'
 
     metric = OccupancyMetric(use_image_mask=not args.no_mask)
-    f_acc, ray_acc, n = [], [], 0
+    f_acc, n = [], 0
+    ray_metric = RayIoUMetric(grid) if args.rayiou else None
     grid = GridConfig()
     for pf, info in zip(pred_files, infos):
         pred = np.load(pf)['occ_pred']
@@ -74,16 +76,17 @@ def main():
                 else os.path.join(args.data_root, info['lidar_path']),
                 dtype=np.float32).reshape(-1, 5)
             dirs = rays_from_points(pts)
-            ray_acc.append(ray_iou(pred, gt, dirs, grid))
+            ray_metric.update(pred, gt, dirs)
         n += 1
 
     res = metric.compute()
     res['samples'] = n
     if f_acc:
         res['fscore'] = round(float(np.mean([x['fscore'] for x in f_acc])), 4)
-    if ray_acc:
-        for k in ray_acc[0]:
-            res[k] = round(float(np.mean([x[k] for x in ray_acc])), 2)
+    if ray_metric is not None:
+        # pooled tp/gt/pred counts across the dataset — the official
+        # calc_metrics aggregation, NOT a mean of per-sample IoUs
+        res.update(ray_metric.compute())
     for k, v in res.items():
         print(f'{k}: {v}')
     print(json.dumps(res))

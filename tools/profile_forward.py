@@ -15,33 +15,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed(name, fn, *args, n=3):
-    """Barrier = a jitted sum of the first output leaf + 4-byte fetch.
-
-    The sum program launches after the timed program (in-order device
-    execution) so its scalar fetch waits for everything; a full-output
-    fetch would measure the ~12 MB/s tunnel instead.  Constant overhead:
-    one extra dispatch, ~44-100 ms.
-    """
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    reduce = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+    """Barrier-fetch timing via the shared helper
+    (fusionocc_tpu/utils/timing.py): a jitted scalar reduction of the first
+    output leaf + 4-byte fetch after each call."""
+    from fusionocc_tpu.utils.timing import best_call_seconds, scalar_barrier
     out = fn(*args)                      # compile + warm
-    np.asarray(reduce(jax_leaves(out)[0]))
-    lat = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        np.asarray(reduce(jax_leaves(out)[0]))
-        lat.append(time.perf_counter() - t0)
-    print(f'{name:34s} {min(lat)*1e3:9.1f} ms', flush=True)
+    scalar_barrier(out)
+    dt = best_call_seconds(fn, *args, n=n, warm=False)
+    print(f'{name:38s} {dt * 1e3:9.1f} ms', flush=True)
     return out
-
-
-def jax_leaves(x):
-    import jax
-    return [l for l in jax.tree_util.tree_leaves(x)
-            if hasattr(l, 'shape')]
 
 
 def main():

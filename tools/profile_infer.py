@@ -18,17 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def burst_median(fn, inputs, iters=10, bursts=3, sleep=2.0):
-    import numpy as np
-    meds = []
-    for _ in range(bursts):
-        lat = []
-        for i in range(iters):
-            t0 = time.perf_counter()
-            fn(inputs[i % len(inputs)])
-            lat.append(time.perf_counter() - t0)
-        meds.append(float(np.median(lat)))
-        time.sleep(sleep)
-    return min(meds)
+    """Best-burst mean via the shared barrier-fetch helper (per-call wall
+    timing without a barrier measures dispatch on the tunnel backend)."""
+    from fusionocc_tpu.utils.timing import burst_best_mean
+    return burst_best_mean(fn, inputs, iters=iters, bursts=bursts,
+                           sleep=sleep)
 
 
 def main():
@@ -51,9 +45,11 @@ def main():
     model = FusionOcc(cfg)
     batches = [synthetic_batch(cfg, 1, seed=s) for s in range(4)]
     b0 = batches[0]
-    variables = jax.jit(lambda: model.init(
+    # init takes the batch as an ARGUMENT: closing over it would embed the
+    # ~100 MB image tensor as a jit constant (compile hang, CLAUDE.md)
+    variables = jax.jit(lambda b: model.init(
         {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
-        b0, train=False))()
+        b, train=False))(b0)
     results = {}
 
     pool_idx = None
@@ -79,7 +75,7 @@ def main():
         holder = [state]
         def run(batch):
             pred, holder[0] = step_c(variables, batch, holder[0], pool_idx)
-            jax.block_until_ready(pred)
+            return pred
         run(b0); run(batches[1])
         results['streaming_cached_ms'] = round(
             burst_median(run, batches, args.iters) * 1000, 1)
@@ -98,7 +94,7 @@ def main():
         holder = [state]
         def run_g(batch):
             pred, holder[0] = step_g(variables, batch, holder[0])
-            jax.block_until_ready(pred)
+            return pred
         run_g(b0); run_g(batches[1])
         results['streaming_graph_ms'] = round(
             burst_median(run_g, batches, args.iters) * 1000, 1)
@@ -113,7 +109,7 @@ def main():
                                method=FusionOcc.predict)
 
         def run_t(batch):
-            jax.block_until_ready(two(variables, batch, pool_idxs))
+            return two(variables, batch, pool_idxs)
         run_t(b0); run_t(batches[1])
         results['twopass_cached_ms'] = round(
             burst_median(run_t, batches, args.iters) * 1000, 1)
@@ -125,7 +121,7 @@ def main():
             return model.apply(v, batch, method=FusionOcc.predict)
 
         def run_tg(batch):
-            jax.block_until_ready(two_g(variables, batch))
+            return two_g(variables, batch)
         run_tg(b0); run_tg(batches[1])
         results['twopass_graph_ms'] = round(
             burst_median(run_tg, batches, args.iters) * 1000, 1)

@@ -26,18 +26,13 @@ def main():
     from fusionocc_tpu.ops import sparse_conv as sc
     from fusionocc_tpu.ops.voxelize import SparseVoxels, voxelize_mean
 
-    reduce = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+    from fusionocc_tpu.utils.timing import best_call_seconds, scalar_barrier
 
     def timed(name, fn, *args, n=3):
         out = fn(*args)
-        np.asarray(reduce(jax.tree_util.tree_leaves(out)[0]))
-        lat = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            out = fn(*args)
-            np.asarray(reduce(jax.tree_util.tree_leaves(out)[0]))
-            lat.append(time.perf_counter() - t0)
-        print(f'{name:38s} {min(lat)*1e3:9.1f} ms', flush=True)
+        scalar_barrier(out)
+        dt = best_call_seconds(fn, *args, n=n, warm=False)
+        print(f'{name:38s} {dt * 1e3:9.1f} ms', flush=True)
         return out
 
     cfg = full_model_config()

@@ -45,18 +45,11 @@ def main():
     stacked = jax.device_put(jax.tree_util.tree_map(
         lambda *xs: jnp.stack([jnp.asarray(x) for x in xs], 0), *batches))
     resets = jax.device_put(np.zeros((T, 1), bool))
-    reduce = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+
+    from fusionocc_tpu.utils.timing import best_call_seconds
 
     def timeit(run, iters=3):
-        out = run()
-        np.asarray(reduce(jax.tree_util.tree_leaves(out)[0]))
-        lat = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            out = run()
-            np.asarray(reduce(jax.tree_util.tree_leaves(out)[0]))
-            lat.append(time.perf_counter() - t0)
-        return min(lat)
+        return best_call_seconds(run, n=iters)
 
     # scan baseline
     pool1 = trim_pooling_index(jax.block_until_ready(jax.jit(

@@ -29,19 +29,13 @@ def main():
     from fusionocc_tpu.data.synthetic import synthetic_batch
     from fusionocc_tpu.models.lidar_encoder import SparseEncoder
 
-    reduce = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+    from fusionocc_tpu.utils.timing import best_call_seconds, scalar_barrier
 
     def timed(name, fn, *args, n=5):
         out = fn(*args)                     # compile + warm
-        np.asarray(reduce(out))
-        lat = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            out = fn(*args)
-            np.asarray(reduce(out))
-            lat.append(time.perf_counter() - t0)
-        print(f'{name:30s} {min(lat) * 1e3:9.1f} ms  '
-              f'(median {sorted(lat)[len(lat) // 2] * 1e3:.1f})', flush=True)
+        scalar_barrier(out)
+        dt = best_call_seconds(fn, *args, n=n, warm=False)
+        print(f'{name:30s} {dt * 1e3:9.1f} ms', flush=True)
         return out
 
     cfg = full_model_config()

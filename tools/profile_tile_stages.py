@@ -29,21 +29,14 @@ def main():
     from fusionocc_tpu.ops.voxelize import voxelize_mean
 
     dtype = jnp.bfloat16 if 'bf16' in sys.argv[1:] else jnp.float32
-    reduce = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+    from fusionocc_tpu.utils.timing import best_call_seconds, scalar_barrier
 
     def timed(name, fn, *args, n=3):
         fn_j = jax.jit(fn)
-        out = fn_j(*args)
-        first = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(reduce(first))
-        lat = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            out = fn_j(*args)
-            np.asarray(reduce(jax.tree_util.tree_leaves(out)[0]))
-            lat.append(time.perf_counter() - t0)
-        print(f'{name:34s} {min(lat) * 1e3:9.1f} ms', flush=True)
-        return out
+        scalar_barrier(fn_j(*args))
+        dt = best_call_seconds(fn_j, *args, n=n, warm=False)
+        print(f'{name:34s} {dt * 1e3:9.1f} ms', flush=True)
+        return fn_j(*args)
 
     cfg = full_model_config()
     lc = cfg.lidar

@@ -178,7 +178,8 @@ def main():
     metric = OccupancyMetric(num_classes=model_cfg.num_classes,
                              use_image_mask=model_cfg.use_mask)
     lat = []
-    ray_scores = []
+    from fusionocc_tpu.eval.ray_metrics import RayIoUMetric
+    ray_metric = RayIoUMetric(model_cfg.grid)
     count = 0
     if args.save_predictions:
         os.makedirs(args.save_predictions, exist_ok=True)
@@ -192,16 +193,14 @@ def main():
             metric.update(pred, batch.voxel_semantics,
                           mask_camera=batch.mask_camera)
             if args.rayiou:
-                from fusionocc_tpu.eval.ray_metrics import (ray_iou,
-                                                            rays_from_points)
+                from fusionocc_tpu.eval.ray_metrics import rays_from_points
                 for b in range(batch.imgs.shape[0]):
                     pts = np.asarray(batch.points[b])[
                         np.asarray(batch.points_mask[b])]
                     dirs = rays_from_points(pts, max_rays=4096)
-                    ray_scores.append(ray_iou(
-                        np.asarray(pred[b]),
-                        np.asarray(batch.voxel_semantics[b]), dirs,
-                        model_cfg.grid))
+                    ray_metric.update(np.asarray(pred[b]),
+                                      np.asarray(batch.voxel_semantics[b]),
+                                      dirs)
         if args.save_predictions:
             np.savez_compressed(
                 os.path.join(args.save_predictions, f'pred_{count:06d}.npz'),
@@ -213,9 +212,9 @@ def main():
         run(b, scenes)
 
     res = metric.compute()
-    if ray_scores:
-        for k in ray_scores[0]:
-            res[k] = round(float(np.mean([r[k] for r in ray_scores])), 2)
+    if args.rayiou and ray_metric.gt_cnt.sum() > 0:
+        # pooled-count aggregation (official calc_metrics semantics)
+        res.update(ray_metric.compute())
     warm = lat[min(args.warmup, len(lat) - 1):]
     res.update({
         'samples': count,
