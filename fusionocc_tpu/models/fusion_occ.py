@@ -166,7 +166,8 @@ class FusionOcc(nn.Module):
         voxel = self.pre_process_net(voxel, train=train)[0]
         return voxel, depth, seg
 
-    def _batched_frame_feats(self, batch: Batch, train: bool):
+    def _batched_frame_feats(self, batch: Batch, train: bool,
+                             pool_idx=None):
         """All temporal frames through the camera branch in ONE pass.
 
         Folds the frame axis into the batch axis (B*F) so the Swin/FPN/VT
@@ -191,15 +192,21 @@ class FusionOcc(nn.Module):
         sd_all = jnp.broadcast_to(batch.sparse_depth[:, None],
                                   (B, F, N, H, W)).reshape(B * F, N, H, W)
 
-        frustum = make_frustum(cfg.grid.depth, cfg.input_size,
-                               cfg.vt.downsample, cfg.vt.sid)
-        coors = [frustum_to_ego(frustum, batch.sensor2keyego[:, f],
-                                batch.intrins[:, f], batch.post_rots[:, f],
-                                batch.post_trans[:, f], batch.bda)
-                 for f in range(F)]
-        coor_all = jnp.stack(coors, 1)                    # (B, F, N, D, h, w, 3)
-        coor_all = coor_all.reshape((B * F,) + coor_all.shape[2:])
-        pool_idx = prepare_pooling_index(coor_all, cfg.grid)
+        if pool_idx is None:
+            # in-graph rank sort over the merged (B*F) point set; eval
+            # callers with static geometry pass a precomputed folded index
+            # instead (frame_pooling_index on (B*F)-folded geometry — the
+            # accelerate path, view_transformer.py:175-194)
+            frustum = make_frustum(cfg.grid.depth, cfg.input_size,
+                                   cfg.vt.downsample, cfg.vt.sid)
+            coors = [frustum_to_ego(frustum, batch.sensor2keyego[:, f],
+                                    batch.intrins[:, f],
+                                    batch.post_rots[:, f],
+                                    batch.post_trans[:, f], batch.bda)
+                     for f in range(F)]
+            coor_all = jnp.stack(coors, 1)              # (B, F, N, D, h, w, 3)
+            coor_all = coor_all.reshape((B * F,) + coor_all.shape[2:])
+            pool_idx = prepare_pooling_index(coor_all, cfg.grid)
 
         voxel, depth, seg = self.img_view_transformer(
             x_all, sd_all, mlp_all, pool_idx, train=train)
@@ -214,12 +221,14 @@ class FusionOcc(nn.Module):
         return feats, depth_key, seg_key
 
     def __call__(self, batch: Batch, train: bool = False,
-                 pool_idxs=None, batch_frames: bool = False
-                 ) -> Dict[str, Any]:
+                 pool_idxs=None, batch_frames: bool = False,
+                 pool_idx_folded=None) -> Dict[str, Any]:
         """pool_idxs: optional per-frame precomputed pooling indices
         (sequence of PoolingIndex or None, indexed by frame id).
         batch_frames: eval-only — run all temporal frames through the
-        camera branch in one batched pass (see _batched_frame_feats)."""
+        camera branch in one batched pass (see _batched_frame_feats);
+        pool_idx_folded optionally supplies its precomputed (B*F)-folded
+        pooling index."""
         cfg = self.cfg
         F = cfg.num_frame
 
@@ -227,7 +236,7 @@ class FusionOcc(nn.Module):
 
         if batch_frames and not train and F > 1:
             voxel_feats, depth_key, seg_key = self._batched_frame_feats(
-                batch, train)
+                batch, train, pool_idx=pool_idx_folded)
         else:
             voxel_feats = []      # order: [frame F-1 (oldest) ... frame 0]
             depth_key = seg_key = None
@@ -262,10 +271,12 @@ class FusionOcc(nn.Module):
         }
 
     def predict(self, batch: Batch, pool_idxs=None,
-                batch_frames: bool = False) -> jnp.ndarray:
+                batch_frames: bool = False,
+                pool_idx_folded=None) -> jnp.ndarray:
         """Inference: (B, X, Y, Z) uint8 class ids (fusion_occ.py:877-920)."""
         out = self(batch, train=False, pool_idxs=pool_idxs,
-                   batch_frames=batch_frames)
+                   batch_frames=batch_frames,
+                   pool_idx_folded=pool_idx_folded)
         return jnp.argmax(out['occ_logits'], axis=-1).astype(jnp.uint8)
 
     # -- streaming inference with a temporal BEV cache ----------------------

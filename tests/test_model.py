@@ -103,3 +103,36 @@ def test_batched_frames_matches_loop():
     np.testing.assert_allclose(np.asarray(got['seg_logits']),
                                np.asarray(ref['seg_logits']), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_batched_frames_folded_pool_idx_matches_in_graph():
+    """batch_frames=True with a PRECOMPUTED (B*F)-folded pooling index (the
+    accelerate path bench.py uses) == the in-graph rank sort, bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fusionocc_tpu.config import tiny_model_config
+    from fusionocc_tpu.data.synthetic import synthetic_batch
+    from fusionocc_tpu.models.fusion_occ import (FusionOcc,
+                                                 frame_pooling_index)
+
+    cfg = tiny_model_config()
+    model = FusionOcc(cfg)
+    b = synthetic_batch(cfg, 2, 3, num_points=512)
+    variables = jax.jit(lambda bb: model.init(
+        {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+        bb, train=False))(b)
+
+    def f2(a):
+        return a.reshape((-1,) + a.shape[2:])
+    pool = jax.jit(lambda bb: frame_pooling_index(
+        cfg, f2(bb.sensor2keyego), f2(bb.intrins), f2(bb.post_rots),
+        f2(bb.post_trans), jnp.repeat(bb.bda, cfg.num_frame, axis=0)))(b)
+
+    ref = jax.jit(lambda v, bb: model.apply(
+        v, bb, train=False, batch_frames=True))(variables, b)
+    got = jax.jit(lambda v, bb, pi: model.apply(
+        v, bb, train=False, batch_frames=True, pool_idx_folded=pi))(
+        variables, b, pool)
+    np.testing.assert_array_equal(np.asarray(got['occ_logits']),
+                                  np.asarray(ref['occ_logits']))
