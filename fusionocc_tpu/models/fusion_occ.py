@@ -396,7 +396,7 @@ class FusionOcc(nn.Module):
 
     def predict_streaming_batch(self, frames: Batch, state: StreamingState,
                                 resets=None, pool_idx=None,
-                                chunk: int = 4):
+                                chunk: int = 4, cam_chunk: int = 0):
         """Streaming inference over T frames with time FOLDED INTO BATCH.
 
         Same math as predict_streaming_scan (equivalence tested in
@@ -422,6 +422,14 @@ class FusionOcc(nn.Module):
           index serves every block).
         chunk: frames per block (camera encoder and BEV head run at
           chunk*B); bounded by HBM.
+        cam_chunk: 0/chunk = camera branch at full chunk*B; otherwise run
+          the camera encoder sequentially over cam_chunk-frame microbatches
+          (lax.map) inside the block.  The camera branch is FLOP-bound and
+          gains nothing from the fold — the fold exists to amortize the
+          LiDAR/voxelize sorts — so microbatching it bounds the Swin
+          activation peak (chunk=8 is 48 images of 512x1408 otherwise)
+          without giving up the amortization.  pool_idx must then be built
+          on the (cam_chunk*B)-folded geometry.
         Returns (preds (T, B, X, Y, Z) uint8, final state).
         """
         cfg = self.cfg
@@ -446,11 +454,29 @@ class FusionOcc(nn.Module):
                 lambda a: a.reshape((chunk * B,) + a.shape[2:]), fg)
 
             lidar = self._lidar_feat(fb, train=False)   # (chunk*B, ...)
-            voxel, _, _ = self._frame_voxel_feat(
-                fb.imgs[:, 0], fb.sensor2keyego[:, 0],
-                fb.sensor2keyego[:, 0], fb.intrins[:, 0],
-                fb.post_rots[:, 0], fb.post_trans[:, 0],
-                fb.bda, fb.sparse_depth, train=False, pool_idx=pool_idx)
+            if cam_chunk and cam_chunk < chunk:
+                assert chunk % cam_chunk == 0, (chunk, cam_chunk)
+                g2 = chunk // cam_chunk
+                cam_in = jax.tree_util.tree_map(
+                    lambda a: a.reshape((g2, cam_chunk * B) + a.shape[1:]),
+                    (fb.imgs[:, 0], fb.sensor2keyego[:, 0],
+                     fb.intrins[:, 0], fb.post_rots[:, 0],
+                     fb.post_trans[:, 0], fb.bda, fb.sparse_depth))
+
+                def cam_body(xs):
+                    imgs, s2k, intr, pr, pt, bda2, sd = xs
+                    v, _, _ = self._frame_voxel_feat(
+                        imgs, s2k, s2k, intr, pr, pt, bda2, sd,
+                        train=False, pool_idx=pool_idx)
+                    return v
+                voxel = jax.lax.map(cam_body, cam_in)
+                voxel = voxel.reshape((chunk * B,) + voxel.shape[2:])
+            else:
+                voxel, _, _ = self._frame_voxel_feat(
+                    fb.imgs[:, 0], fb.sensor2keyego[:, 0],
+                    fb.sensor2keyego[:, 0], fb.intrins[:, 0],
+                    fb.post_rots[:, 0], fb.post_trans[:, 0],
+                    fb.bda, fb.sparse_depth, train=False, pool_idx=pool_idx)
             vox_t = voxel.reshape((chunk, B) + voxel.shape[1:])
 
             pose = fg.ego2global.astype(jnp.float32)    # (chunk, B, 4, 4)

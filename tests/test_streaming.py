@@ -232,3 +232,24 @@ def test_streaming_batch_matches_scan():
                                    atol=1e-5)
         np.testing.assert_array_equal(np.asarray(s_got.valid),
                                       np.asarray(s_ref.valid))
+
+
+def test_streaming_batch_cam_microbatch_matches():
+    """cam_chunk (camera encoder microbatched inside the block via lax.map)
+    must not change predictions vs the full-chunk camera pass."""
+    cfg = tiny_model_config()
+    model = FusionOcc(cfg)
+    frames = [synthetic_batch(cfg, 1, s, num_points=512) for s in range(4)]
+    variables = jax.jit(lambda bb: model.init(
+        {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+        bb, train=False))(frames[0])
+    state = model.apply(variables, 1, method=FusionOcc.init_streaming_state)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, 0), *frames)
+
+    ref, _ = jax.jit(lambda v, f, s: model.apply(
+        v, f, s, chunk=4, method=FusionOcc.predict_streaming_batch))(
+        variables, stacked, state)
+    got, _ = jax.jit(lambda v, f, s: model.apply(
+        v, f, s, chunk=4, cam_chunk=2,
+        method=FusionOcc.predict_streaming_batch))(variables, stacked, state)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -31,6 +31,10 @@ def main():
                          'before export (the TRT-INT8 deployment analog)')
     ap.add_argument('--verify', action='store_true',
                     help='roundtrip-deserialize and compare outputs')
+    ap.add_argument('--streaming', action='store_true',
+                    help='export the streaming serving step instead '
+                         '(predict_streaming: batch + StreamingState in, '
+                         'prediction + new state out)')
     args = ap.parse_args()
 
     import jax
@@ -67,13 +71,31 @@ def main():
         params = dequantize_tree(q, meta, dtype=cfg.dtype)
     variables = {'params': params, 'batch_stats': state.batch_stats}
 
-    def infer(batch):
-        return model.apply(variables, batch, method=FusionOcc.predict)
-
-    from fusionocc_tpu.models.fusion_occ import Batch
+    from fusionocc_tpu.models.fusion_occ import Batch, StreamingState
     jexport.register_namedtuple_serialization(
         Batch, serialized_name='fusionocc_tpu.Batch')
-    exported = jexport.export(jax.jit(infer))(batch)
+
+    if args.streaming:
+        # the deployed serving loop: one camera pass per frame, the
+        # temporal BEV cache carried by the caller between calls
+        jexport.register_namedtuple_serialization(
+            StreamingState, serialized_name='fusionocc_tpu.StreamingState')
+        state0 = model.apply(variables, 1,
+                             method=FusionOcc.init_streaming_state)
+
+        def infer(batch, stream_state):
+            pred, _, ns = model.apply(variables, batch, stream_state,
+                                      method=FusionOcc.predict_streaming)
+            return pred, ns
+
+        exported = jexport.export(jax.jit(infer))(batch, state0)
+        example_extra = (state0,)
+    else:
+        def infer(batch):
+            return model.apply(variables, batch, method=FusionOcc.predict)
+
+        exported = jexport.export(jax.jit(infer))(batch)
+        example_extra = ()
     blob = exported.serialize()
     with open(args.out, 'wb') as f:
         f.write(blob)
@@ -81,9 +103,11 @@ def main():
 
     if args.verify:
         rt = jexport.deserialize(blob)
-        got = rt.call(batch)
-        ref = jax.jit(infer)(batch)
-        assert np.array_equal(np.asarray(got), np.asarray(ref)), \
+        got = rt.call(batch, *example_extra)
+        ref = jax.jit(infer)(batch, *example_extra)
+        got0 = jax.tree_util.tree_leaves(got)[0]
+        ref0 = jax.tree_util.tree_leaves(ref)[0]
+        assert np.array_equal(np.asarray(got0), np.asarray(ref0)), \
             'roundtrip mismatch'
         print('verify: roundtrip output matches')
 

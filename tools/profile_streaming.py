@@ -29,8 +29,13 @@ def main():
     from fusionocc_tpu.ops.bev_pool import trim_pooling_index
 
     T = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    chunks = ([int(c) for c in sys.argv[2].split(',')]
-              if len(sys.argv) > 2 else [2, 4, 8])
+    # each entry: "chunk" or "chunk:cam_chunk" (camera microbatch)
+    spec = (sys.argv[2].split(',') if len(sys.argv) > 2
+            else ['2', '4', '8', '8:2', '8:4'])
+    chunks = []
+    for e in spec:
+        c, _, cc = e.partition(':')
+        chunks.append((int(c), int(cc) if cc else 0))
 
     cfg = full_model_config()
     model = FusionOcc(cfg)
@@ -67,12 +72,15 @@ def main():
     print(f'scan             {dt / T * 1e3:8.1f} ms/frame '
           f'({dt * 1e3:.0f} total)', flush=True)
 
-    for chunk in chunks:
-        # pooling index for (chunk*B)-folded geometry (identical rig per
-        # frame, so one folded index serves every chunk)
-        def folded_idx(st):
+    for chunk, cam_chunk in chunks:
+        # pooling index folded to the CAMERA batch (= cam_chunk*B when
+        # microbatched, else chunk*B); identical rig per frame, so one
+        # folded index serves every block
+        fold_n = cam_chunk if (cam_chunk and cam_chunk < chunk) else chunk
+
+        def folded_idx(st, n=fold_n):
             def fold(a):
-                return a[:chunk].reshape((-1,) + a.shape[2:])
+                return a[:n].reshape((-1,) + a.shape[2:])
             return frame_pooling_index(
                 cfg, fold(st.sensor2keyego)[:, 0], fold(st.intrins)[:, 0],
                 fold(st.post_rots)[:, 0], fold(st.post_trans)[:, 0],
@@ -81,17 +89,19 @@ def main():
             jax.jit(folded_idx)(stacked)))
 
         @jax.jit
-        def bat_step(v, f, s, r, pi, c=chunk):
+        def bat_step(v, f, s, r, pi, c=chunk, cc=cam_chunk):
             return model.apply(v, f, s, resets=r, pool_idx=pi, chunk=c,
+                               cam_chunk=cc,
                                method=FusionOcc.predict_streaming_batch)
 
+        label = f'{chunk}' + (f':{cam_chunk}' if cam_chunk else '')
         try:
             dt = timeit(lambda: bat_step(variables, stacked, state0, resets,
                                          pool_c)[0])
-            print(f'batch chunk={chunk}    {dt / T * 1e3:8.1f} ms/frame '
+            print(f'batch chunk={label:5s} {dt / T * 1e3:8.1f} ms/frame '
                   f'({dt * 1e3:.0f} total)', flush=True)
         except Exception as e:
-            print(f'batch chunk={chunk}    FAILED: {type(e).__name__}: '
+            print(f'batch chunk={label:5s} FAILED: {type(e).__name__}: '
                   f'{str(e)[:200]}', flush=True)
 
 
