@@ -108,11 +108,17 @@ def main():
     # costs ~B=1), so folding the clip's frames into the batch axis
     # amortizes the LiDAR branch's dominant fixed costs ~chunk-fold.
     dt_batched = {}
-    for chunk in (4, 8):
+    # (chunk, cam_chunk): cam_chunk microbatches the FLOP-bound camera
+    # encoder inside the block (lax.map) so chunk=8 doesn't hold 48 Swin
+    # images of activations at once; the fold exists for the latency-bound
+    # LiDAR sorts, which still run at the full chunk*B
+    for chunk, cam_chunk in ((4, 0), (8, 4), (8, 2)):
         try:
-            def folded_idx(stk, c=chunk):
+            fold_n = cam_chunk if (cam_chunk and cam_chunk < chunk) else chunk
+
+            def folded_idx(stk, n=fold_n):
                 def fold(a):
-                    return a[:c].reshape((-1,) + a.shape[2:])
+                    return a[:n].reshape((-1,) + a.shape[2:])
                 return frame_pooling_index(
                     cfg, fold(stk.sensor2keyego)[:, 0], fold(stk.intrins)[:, 0],
                     fold(stk.post_rots)[:, 0], fold(stk.post_trans)[:, 0],
@@ -121,8 +127,9 @@ def main():
                 jax.jit(folded_idx)(stacked)))
 
             @jax.jit
-            def bat_step(v, f, s, r, pi, c=chunk):
+            def bat_step(v, f, s, r, pi, c=chunk, cc=cam_chunk):
                 return model.apply(v, f, s, resets=r, pool_idx=pi, chunk=c,
+                                   cam_chunk=cc,
                                    method=FusionOcc.predict_streaming_batch)
 
             sb = [state0]
@@ -132,13 +139,14 @@ def main():
                                         pool_c)
                 return preds
 
+            label = f'{chunk}' + (f'_{cam_chunk}' if cam_chunk else '')
             np.asarray(run_bat(None))
             np.asarray(run_bat(None))
-            dt_batched[chunk] = burst_best_mean(
+            dt_batched[label] = burst_best_mean(
                 run_bat, [None], iters=4) / SCAN_T
         except Exception as e:            # compile/oom: report what works
-            print(f'# batched chunk={chunk} failed: {type(e).__name__}',
-                  flush=True)
+            print(f'# batched chunk={chunk}:{cam_chunk} failed: '
+                  f'{type(e).__name__}', flush=True)
 
     # --- single-frame streaming latency mode ------------------------------
     @jax.jit

@@ -120,6 +120,12 @@ class SparseEncoderConfig:
     # gather-GEMM COO path (the reference-shaped formulation).
     backend: str = 'coo'   # flipped to 'tile' by full/tiny presets once
                            # equivalence holds; 'coo' is the fallback
+    # COO gather flavor: 'row' issues 27 single-row gathers per output
+    # voxel; 'block' exploits z-fastest key order (a column's found z-taps
+    # occupy consecutive rows) to fetch 9 contiguous 3-row slices instead
+    # — 3x fewer gather descriptors (ops/sparse_conv.py
+    # sparse_conv_apply_block).
+    gather: str = 'row'
     tile_size: int = 8
     # Active-tile capacities per stage (~12.6k/7k/3k/1k measured on the
     # beam-model cloud at stage 0..3 + dilation headroom).

@@ -26,6 +26,7 @@ from ..config import GridConfig, SparseEncoderConfig
 from ..nn.layers import MaskedBatchNorm
 from ..ops.sparse_conv import (build_strided_index, build_subm_index,
                                sparse_conv1x1_apply, sparse_conv_apply,
+                               sparse_conv_apply_block,
                                sparse_to_dense)
 from ..ops.tile_sparse import (TileVoxels, neighbor_slots, tile_conv1x1,
                                tile_grid, tile_strided_apply,
@@ -48,6 +49,7 @@ class SubMConvBN(nn.Module):
     norm: bool = True
     act: bool = True
     tile: bool = False
+    gather: str = 'row'
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -59,6 +61,8 @@ class SubMConvBN(nn.Module):
                        (27, cin, self.features), jnp.float32)
         if self.tile:
             y = tile_subm_conv(feats, mask, nbr_idx, w)
+        elif self.gather == 'block':
+            y = sparse_conv_apply_block(feats, mask, nbr_idx, w)
         else:
             y = sparse_conv_apply(feats, mask, nbr_idx, w)
         if self.norm:
@@ -77,6 +81,7 @@ class SparseConvBNStride2(nn.Module):
     """
     features: int
     tile: bool = False
+    gather: str = 'row'
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -87,6 +92,8 @@ class SparseConvBNStride2(nn.Module):
                        (27, cin, self.features), jnp.float32)
         if self.tile:
             y = tile_strided_apply(feats, nbr_idx, w)
+        elif self.gather == 'block':
+            y = sparse_conv_apply_block(feats, out_mask, nbr_idx, w)
         else:
             y = sparse_conv_apply(feats, out_mask, nbr_idx, w)
         y = MaskedBatchNorm(dtype=self.dtype)(y, out_mask, train=train)
@@ -130,6 +137,7 @@ class SparseEncoder(nn.Module):
             f = cur.feats
             for j in range(n_subm):
                 f = SubMConvBN(blocks[j], dtype=self.dtype,
+                               gather=cfg.gather,
                                name=f'stage{i}_subm{j}')(
                     f, cur.mask, nbr, train=train)
             if i < num_stages - 1:
@@ -137,6 +145,7 @@ class SparseEncoder(nn.Module):
                     SparseVoxels(f, cur.coords, cur.keys, cur.mask),
                     cur_shape, cfg.voxel_capacity[i + 1])
                 f = SparseConvBNStride2(blocks[-1], dtype=self.dtype,
+                                        gather=cfg.gather,
                                         name=f'stage{i}_down')(
                     f, om, snbr, train=train)
                 cur = SparseVoxels(f, oc, okeys, om)

@@ -184,6 +184,60 @@ def sparse_conv_apply(feats: jnp.ndarray, mask_out: jnp.ndarray,
     return jnp.where(mask_out[..., None], out, 0)
 
 
+def sparse_conv_apply_block(feats: jnp.ndarray, mask_out: jnp.ndarray,
+                            nbr_idx: jnp.ndarray, weight: jnp.ndarray,
+                            bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Same math as sparse_conv_apply via 9 three-row BLOCK gathers.
+
+    Voxel keys are z-fastest lexicographic and unique per sample, so a
+    kernel column's found z-taps always occupy CONSECUTIVE rows: if q-1 and
+    q+1 both exist but q is absent, their rows are still adjacent (no
+    integer key fits between).  Hence every found tap of a column lies in
+    [start, start+2] with start = min(found rows), and the 27 per-row
+    gathers collapse into 9 contiguous (3, Cin) slice gathers — 3x fewer
+    gather descriptors in the op that dominates the sparse-conv stack once
+    time-folding amortizes the index-build sorts — plus an in-register tap
+    alignment by row offset (tap t takes block row ``nbr[t] - start``).
+
+    Drop-in for sparse_conv_apply: same (B, V_out, 27) neighbor map with
+    miss -> V_in, same output.  Selected by SparseEncoderConfig.gather.
+    """
+    B, v_in, cin = feats.shape
+    v_out = nbr_idx.shape[1]
+    cout = weight.shape[-1]
+    nbr3 = nbr_idx.reshape(B, v_out, 9, 3)
+    found = nbr3 < v_in
+    start = jnp.min(jnp.where(found, nbr3, v_in), axis=-1)   # (B, V, 9)
+    sel = nbr3 - start[..., None]                            # row offset/tap
+    pad = jnp.concatenate(
+        [feats, jnp.zeros((B, 3, cin), feats.dtype)], axis=1)
+
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
+
+    def gather_one(p, s):
+        return jax.lax.gather(p, s.reshape(-1, 1), dn, slice_sizes=(3, cin),
+                              mode=jax.lax.GatherScatterMode.CLIP)
+
+    gf = jax.vmap(gather_one)(pad, start).reshape(B, v_out, 9, 3, cin)
+    # tap t <- block row r where sel[..., t] == r; misses masked by `found`
+    # (a missing tap's sel can alias 0..2 when start is near v_in)
+    taps = []
+    for t in range(3):
+        acc = jnp.zeros((B, v_out, 9, cin), feats.dtype)
+        for r in range(3):
+            m = (sel[..., t] == r) & found[..., t]
+            acc = acc + jnp.where(m[..., None], gf[..., r, :], 0)
+        taps.append(acc)
+    gathered = jnp.stack(taps, axis=3).reshape(B, v_out, 27 * cin)
+    w = weight.astype(feats.dtype).reshape(27 * cin, cout)
+    out = jnp.einsum('bvk,kc->bvc', gathered, w,
+                     preferred_element_type=jnp.float32).astype(feats.dtype)
+    if bias is not None:
+        out = out + bias.astype(feats.dtype)
+    return jnp.where(mask_out[..., None], out, 0)
+
+
 def sparse_conv1x1_apply(feats: jnp.ndarray, mask: jnp.ndarray,
                          weight: jnp.ndarray,
                          bias: jnp.ndarray | None = None) -> jnp.ndarray:

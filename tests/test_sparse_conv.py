@@ -11,7 +11,9 @@ import numpy as np
 from fusionocc_tpu.ops.sparse_conv import (build_strided_index,
                                            build_subm_index,
                                            out_shape_strided,
-                                           sparse_conv_apply, sparse_to_dense)
+                                           sparse_conv_apply,
+                                           sparse_conv_apply_block,
+                                           sparse_to_dense)
 from fusionocc_tpu.ops.voxelize import SparseVoxels, coords_to_key
 
 
@@ -67,6 +69,28 @@ def test_subm_conv_matches_dense():
     np.testing.assert_allclose(np.asarray(got_dense)[active],
                                np.asarray(ref)[active],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_block_gather_apply_matches_row_gather():
+    """sparse_conv_apply_block is a drop-in for sparse_conv_apply on both
+    the subm and the strided neighbor maps (z-run contiguity argument)."""
+    rng = np.random.RandomState(7)
+    shape, B, V, cin, cout = (10, 9, 6), 2, 64, 4, 5
+    sp = _random_sparse(rng, B, V, shape, cin, density_pts=90)
+    weight = jnp.asarray(rng.randn(27, cin, cout), jnp.float32) * 0.1
+    bias = jnp.asarray(rng.randn(cout), jnp.float32)
+
+    nbr = build_subm_index(sp, shape)
+    ref = sparse_conv_apply(sp.feats, sp.mask, nbr, weight, bias)
+    got = sparse_conv_apply_block(sp.feats, sp.mask, nbr, weight, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    (oc, okeys, om, snbr), shape_out = build_strided_index(sp, shape, 192)
+    ref = sparse_conv_apply(sp.feats, om, snbr, weight)
+    got = sparse_conv_apply_block(sp.feats, om, snbr, weight)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_strided_conv_matches_dense():

@@ -60,6 +60,19 @@ def main():
     conv_fn = jax.jit(lambda f, m, i, w: sc.sparse_conv_apply(f, m, i, w))
     timed('sparse_conv_apply stage0 (gatherGEMM)', conv_fn,
           f0, sp.mask, nbr, w)
+    convb_fn = jax.jit(
+        lambda f, m, i, w: sc.sparse_conv_apply_block(f, m, i, w))
+    timed('sparse_conv_apply_block stage0 (9x3row)', convb_fn,
+          f0, sp.mask, nbr, w)
+
+    # chunk-folded flavor (streaming runs the encoder at B=chunk): does the
+    # 3x descriptor cut still win once the gather is volume-bound?
+    C = 4
+    fc = jnp.broadcast_to(f0, (C,) + f0.shape[1:])
+    mc = jnp.broadcast_to(sp.mask, (C,) + sp.mask.shape[1:])
+    ic = jnp.broadcast_to(nbr, (C,) + nbr.shape[1:])
+    timed(f'sparse_conv_apply stage0 B={C}', conv_fn, fc, mc, ic, w)
+    timed(f'sparse_conv_apply_block stage0 B={C}', convb_fn, fc, mc, ic, w)
 
     stride_fn = jax.jit(lambda s: sc.build_strided_index(
         s, shape, lcfg.voxel_capacity[1]))

@@ -1,0 +1,31 @@
+#!/usr/bin/env bash
+# Run every pending on-chip measurement in priority order, one process at a
+# time (the axon tunnel admits ONE user; a second blocks forever).  Each tool
+# is bounded so a tunnel stall can't eat the whole window.  Results land in
+# results/onchip_$(date +%Y%m%d_%H%M%S)/.
+#
+# PRE-REQ: no other python process may be using the TPU (pgrep python).
+set -u
+cd "$(dirname "$0")/.."
+out="results/onchip_$(date +%Y%m%d_%H%M%S)"
+mkdir -p "$out"
+echo "writing to $out"
+
+run() {  # run <budget_s> <name> <cmd...>
+  local budget=$1 name=$2; shift 2
+  echo "=== $name ($(date +%H:%M:%S), budget ${budget}s) ==="
+  timeout "$budget" "$@" 2>&1 | tee "$out/$name.log"
+  echo "--- $name exit=$? ---"
+}
+
+# 1. headline: sweeps chunk 4 / 8:4 / 8:2 candidates itself
+run 3000 bench python bench.py
+# 2. int8 image-backbone serving A/B (batched-frames two-pass)
+run 1800 ab_int8 python tools/ab_int8.py --iters 4
+# 3. lidar-branch bisection incl. block-vs-row gather A/B
+run 1200 profile_lidar python tools/profile_lidar.py
+# 4. streaming chunk sweep (finer grid than bench's 3 candidates)
+run 2400 profile_streaming python tools/profile_streaming.py 8 1,2,4,8
+# 5. full-size train step s/iter (compile ~4.5 min)
+run 2400 profile_train python tools/profile_train.py --steps 4 --bursts 2
+echo "all done -> $out"
