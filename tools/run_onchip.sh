@@ -26,6 +26,8 @@ run 1800 ab_int8 python tools/ab_int8.py --iters 4
 run 1200 profile_lidar python tools/profile_lidar.py
 # 4. streaming chunk sweep (finer grid than bench's 3 candidates)
 run 2400 profile_streaming python tools/profile_streaming.py 8 1,2,4,8
-# 5. full-size train step s/iter (compile ~4.5 min)
+# 5. two-pass eval fps vs batch size (reference eval semantics)
+run 1800 ab_twopass_batch python tools/ab_twopass_batch.py --batches 1,2,4
+# 6. full-size train step s/iter (compile ~4.5 min)
 run 2400 profile_train python tools/profile_train.py --steps 4 --bursts 2
 echo "all done -> $out"
