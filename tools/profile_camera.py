@@ -1,0 +1,143 @@
+"""Per-stage / per-op bisection of the camera branch on the real chip.
+
+The camera pass is ~190 ms while its dense FLOPs (~1.5 TFLOP at 12 images
+x 512x1408) would take ~8 ms at v5e peak — single-digit MFU.  This tool
+locates where the time goes at op granularity so the next optimization is
+evidence-driven, timing each Swin stage's blocks (shifted + unshifted,
+fused and unfused attention), the window attention alone, the MLP matmuls
+alone (the MXU-ideal comparison), patch embed/merging, and the FPN +
+depth/seg nets + lift-splat pooling.
+
+Shapes mirror the full-size eval config (12 images = 6 cams x 2 temporal
+frames, reference fusion_occ.py:289-316 two-pass semantics).
+Timing: barrier-fetch (fusionocc_tpu/utils/timing.py) — the only honest
+method on the tunnel backend.
+
+Usage: python tools/profile_camera.py [--images 12]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--images', type=int, default=12)
+    ap.add_argument('--n', type=int, default=3, help='timing reps')
+    ap.add_argument('--tiny', action='store_true',
+                    help='tiny shapes on CPU (flow smoke test)')
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import flax.linen as nn
+
+    jax.config.update('jax_compilation_cache_dir', '/tmp/fusionocc_jax_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    if args.tiny:
+        jax.config.update('jax_platforms', 'cpu')
+
+    from fusionocc_tpu.config import full_model_config, tiny_model_config
+    from fusionocc_tpu.nn.swin import PatchMerging, SwinBlock, WindowMSA
+    from fusionocc_tpu.utils.timing import best_call_seconds, scalar_barrier
+
+    def timed(name, fn, *xs, n=args.n):
+        out = fn(*xs)
+        scalar_barrier(out)
+        dt = best_call_seconds(fn, *xs, n=n, warm=False)
+        print(f'{name:44s} {dt * 1e3:9.2f} ms', flush=True)
+        return dt
+
+    cfg = tiny_model_config() if args.tiny else full_model_config()
+    sw = cfg.swin
+    H, W = cfg.input_size
+    NI = args.images
+    dtype = jnp.bfloat16
+    rng = jax.random.PRNGKey(0)
+    ws = sw.window_size
+
+    h0, w0 = H // sw.patch_size, W // sw.patch_size
+    print(f'{NI} images {H}x{W}; stages '
+          f'{[(h0 >> i, w0 >> i, sw.embed_dims << i) for i in range(len(sw.depths))]}',
+          flush=True)
+
+    stage_ms = []
+    for i, depth in enumerate(sw.depths):
+        hw = (h0 >> i, w0 >> i)
+        C = sw.embed_dims << i
+        heads = sw.num_heads[i]
+        x = jax.device_put(jax.random.normal(
+            rng, (NI, hw[0] * hw[1], C), dtype))
+
+        per_block = {}
+        for fused in ([False, True] if heads <= 8 or args.tiny else [False]):
+            for shift in (False, True):
+                blk = SwinBlock(dim=C, num_heads=heads, window_size=ws,
+                                shift=shift, mlp_ratio=sw.mlp_ratio,
+                                qkv_bias=sw.qkv_bias, drop_path_rate=0.0,
+                                dtype=dtype, fused_attn=fused)
+                v = jax.jit(lambda xx, b=blk: b.init(
+                    jax.random.PRNGKey(1), xx, hw))(x)
+                f = jax.jit(lambda vv, xx, b=blk: b.apply(vv, xx, hw))
+                tag = ('fused' if fused else 'plain') + \
+                    ('/shift' if shift else '')
+                per_block[(fused, shift)] = timed(
+                    f'  stage{i} block {tag} ({hw[0]}x{hw[1]}x{C})',
+                    f, v, x)
+
+        use_fused = sw.fused_attn and heads <= sw.fused_attn_max_heads
+        pair = (per_block.get((use_fused, False),
+                              per_block[(False, False)]) +
+                per_block.get((use_fused, True),
+                              per_block[(False, True)]))
+        stage_ms.append(pair / 2 * depth)
+        print(f'  stage{i} total ~{stage_ms[-1] * 1e3:9.2f} ms '
+              f'({depth} blocks)', flush=True)
+
+        # window attention alone at this stage's window count
+        nw = (hw[0] // ws + (hw[0] % ws > 0)) * (hw[1] // ws + (hw[1] % ws > 0))
+        xw = jax.device_put(jax.random.normal(
+            rng, (NI * nw, ws * ws, C), dtype))
+        msa = WindowMSA(dim=C, num_heads=heads, window_size=ws,
+                        qkv_bias=sw.qkv_bias, dtype=dtype)
+        vmsa = jax.jit(lambda xx: msa.init(jax.random.PRNGKey(2), xx))(xw)
+        timed(f'  stage{i} WindowMSA alone ({NI * nw}w)',
+              jax.jit(lambda vv, xx: msa.apply(vv, xx)), vmsa, xw)
+
+        # the MXU-ideal: this stage's MLP matmuls as two plain Denses
+        mlp = nn.Sequential([nn.Dense(C * sw.mlp_ratio, dtype=dtype),
+                             nn.gelu, nn.Dense(C, dtype=dtype)])
+        vm = jax.jit(lambda xx: mlp.init(jax.random.PRNGKey(3), xx))(x)
+        timed(f'  stage{i} MLP matmuls alone',
+              jax.jit(lambda vv, xx: mlp.apply(vv, xx)), vm, x)
+
+        if i < len(sw.depths) - 1:
+            pm = PatchMerging(out_channels=2 * C, dtype=dtype)
+            vp = jax.jit(lambda xx: pm.init(
+                jax.random.PRNGKey(4), xx, hw))(x)
+            timed(f'  stage{i} PatchMerging',
+                  jax.jit(lambda vv, xx: pm.apply(vv, xx, hw)), vp, x)
+
+    print('--- stage totals (block path): ' +
+          ', '.join(f's{i}={v * 1e3:.1f}ms' for i, v in enumerate(stage_ms)),
+          flush=True)
+
+    # --- neck + depth/seg + lift-splat pooling at full scale ---------------
+    from fusionocc_tpu.models.fpn import FPN_LSS
+    feats = [jax.device_put(jax.random.normal(
+        rng, (NI, h0 >> i, w0 >> i, sw.embed_dims << i), dtype))
+        for i in sw.out_indices]
+    fpn = FPN_LSS(out_channels=cfg.img_neck_out_channels, dtype=dtype)
+    vf = jax.jit(lambda a, b: fpn.init(jax.random.PRNGKey(5), (a, b)))(
+        feats[0], feats[1])
+    timed('FPN_LSS', jax.jit(lambda vv, a, b: fpn.apply(vv, (a, b))),
+          vf, feats[0], feats[1])
+
+
+if __name__ == '__main__':
+    main()

@@ -24,7 +24,9 @@ run 3000 bench python bench.py
 run 1800 ab_int8 python tools/ab_int8.py --iters 4
 # 3. lidar-branch bisection incl. block-vs-row gather A/B
 run 1200 profile_lidar python tools/profile_lidar.py
-# 4. streaming chunk sweep (finer grid than bench's 3 candidates)
+# 4. camera-branch per-stage/per-op bisection (Swin is single-digit MFU)
+run 2400 profile_camera python tools/profile_camera.py
+# 5. streaming chunk sweep (finer grid than bench's 3 candidates)
 run 2400 profile_streaming python tools/profile_streaming.py 8 1,2,4,8
 # 5. two-pass eval fps vs batch size (reference eval semantics)
 run 1800 ab_twopass_batch python tools/ab_twopass_batch.py --batches 1,2,4
