@@ -1,12 +1,12 @@
 """Per-stage / per-op bisection of the camera branch on the real chip.
 
-The camera pass is ~190 ms while its dense FLOPs (~1.5 TFLOP at 12 images
-x 512x1408) would take ~8 ms at v5e peak — single-digit MFU.  This tool
-locates where the time goes at op granularity so the next optimization is
-evidence-driven, timing each Swin stage's blocks (shifted + unshifted,
-fused and unfused attention), the window attention alone, the MLP matmuls
-alone (the MXU-ideal comparison), patch embed/merging, and the FPN +
-depth/seg nets + lift-splat pooling.
+Swin-B at 12 images x 512x1408 is ~5-6 TFLOP dense (stage 2's 18 blocks
+alone are ~3.8 TFLOP), so the measured ~235 ms full-backbone pass is
+~25% MFU — this tool locates which stages/ops sit below that, reporting
+per-block achieved TFLOP/s next to the analytic FLOPs: each Swin stage's
+blocks (shifted + unshifted, fused and unfused attention), the window
+attention alone, the MLP matmuls alone (the MXU-ideal comparison), patch
+merging, and the FPN.
 
 Shapes mirror the full-size eval config (12 images = 6 cams x 2 temporal
 frames, reference fusion_occ.py:289-316 two-pass semantics).
@@ -74,6 +74,16 @@ def main():
         x = jax.device_put(jax.random.normal(
             rng, (NI, hw[0] * hw[1], C), dtype))
 
+        # analytic dense FLOPs per block: qkv + proj + 2 attn matmuls + MLP
+        tok = NI * hw[0] * hw[1]
+        nw_pad = -(-hw[0] // ws) * -(-hw[1] // ws)
+        tok_pad = NI * nw_pad * ws * ws
+        gflop_blk = 2 * (tok * C * (3 * C) + tok * C * C
+                         + 2 * tok_pad * (ws * ws) * C
+                         + 2 * tok * C * (sw.mlp_ratio * C)) / 1e9
+        print(f'  stage{i}: {gflop_blk:.1f} GFLOP/block x {depth}',
+              flush=True)
+
         per_block = {}
         for fused in ([False, True] if heads <= 8 or args.tiny else [False]):
             for shift in (False, True):
@@ -86,9 +96,12 @@ def main():
                 f = jax.jit(lambda vv, xx, b=blk: b.apply(vv, xx, hw))
                 tag = ('fused' if fused else 'plain') + \
                     ('/shift' if shift else '')
-                per_block[(fused, shift)] = timed(
+                dt = timed(
                     f'  stage{i} block {tag} ({hw[0]}x{hw[1]}x{C})',
                     f, v, x)
+                per_block[(fused, shift)] = dt
+                print(f'    -> {gflop_blk / dt / 1e3:8.2f} TFLOP/s '
+                      f'achieved', flush=True)
 
         use_fused = sw.fused_attn and heads <= sw.fused_attn_max_heads
         pair = (per_block.get((use_fused, False),
