@@ -52,8 +52,9 @@ def main():
 
     from fusionocc_tpu.config import full_model_config, tiny_model_config
     from fusionocc_tpu.data.synthetic import synthetic_batch
-    from fusionocc_tpu.models.fusion_occ import (FusionOcc,
-                                                 frame_pooling_index)
+    from fusionocc_tpu.models.fusion_occ import (
+        FusionOcc, batched_frames_pooling_index, frame_pooling_index,
+        streaming_fold_pooling_index)
 
     # FUSIONOCC_BENCH_TINY=1: smoke-test the bench flow itself on small
     # shapes (CI/CPU); numbers are meaningless there
@@ -114,17 +115,9 @@ def main():
     # LiDAR sorts, which still run at the full chunk*B
     for chunk, cam_chunk in ((4, 0), (8, 4), (8, 2)):
         try:
-            fold_n = cam_chunk if (cam_chunk and cam_chunk < chunk) else chunk
-
-            def folded_idx(stk, n=fold_n):
-                def fold(a):
-                    return a[:n].reshape((-1,) + a.shape[2:])
-                return frame_pooling_index(
-                    cfg, fold(stk.sensor2keyego)[:, 0], fold(stk.intrins)[:, 0],
-                    fold(stk.post_rots)[:, 0], fold(stk.post_trans)[:, 0],
-                    fold(stk.bda))
-            pool_c = trim_pooling_index(jax.block_until_ready(
-                jax.jit(folded_idx)(stacked)))
+            pool_c = trim_pooling_index(jax.block_until_ready(jax.jit(
+                lambda stk, c=chunk, cc=cam_chunk:
+                streaming_fold_pooling_index(cfg, stk, c, cc))(stacked)))
 
             @jax.jit
             def bat_step(v, f, s, r, pi, c=chunk, cc=cam_chunk):
@@ -169,16 +162,8 @@ def main():
     # batch_frames folds both temporal frames into ONE camera-branch
     # invocation (equivalent outputs, tested; better MXU occupancy), with
     # the rank sort precomputed on the (B*F)-folded geometry
-    F = cfg.num_frame
-
-    def folded_two_idx(bb):
-        def f2(a):
-            return a.reshape((-1,) + a.shape[2:])
-        return frame_pooling_index(
-            cfg, f2(bb.sensor2keyego), f2(bb.intrins), f2(bb.post_rots),
-            f2(bb.post_trans), jnp.repeat(bb.bda, F, axis=0))
-    pool_two = trim_pooling_index(jax.block_until_ready(
-        jax.jit(folded_two_idx)(b0)))
+    pool_two = trim_pooling_index(jax.block_until_ready(jax.jit(
+        lambda bb: batched_frames_pooling_index(cfg, bb))(b0)))
 
     @jax.jit
     def two_step(v, b, pi):

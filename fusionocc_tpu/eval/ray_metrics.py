@@ -101,17 +101,38 @@ def render_rays(occ, origin, dirs, grid: GridConfig, free_class: int = 17):
     dv = d / interval                                               # vox/m
     R = d.shape[0]
 
-    # K crossings per axis cover any chord through the grid
-    Ks = [int(s) + 2 for s in sizes]
-    v0 = np.floor(o_vox).astype(np.int64)                           # (3,)
+    # Advance exterior origins to just before grid entry (slab test):
+    # only K crossings per axis are enumerated, so a far-outside origin
+    # would exhaust them before reaching the grid and silently render as
+    # never-entered.  Interior origins get t0 = 0 (bit-identical path).
+    with np.errstate(divide='ignore', invalid='ignore'):
+        t_lo = (0.0 - o_vox[None, :]) / dv                          # (R, 3)
+        t_hi = (sizes[None, :].astype(np.float64) - o_vox[None, :]) / dv
+    para = dv == 0.0
+    t_near = np.where(para, -np.inf, np.minimum(t_lo, t_hi))
+    t_far = np.where(para, np.inf, np.maximum(t_lo, t_hi))
+    miss_para = para & ((o_vox[None, :] < 0)
+                        | (o_vox[None, :] > sizes[None, :]))
+    t_enter = t_near.max(axis=1)                                    # (R,)
+    t_exit = np.where(miss_para.any(axis=1), -np.inf, t_far.min(axis=1))
+    hits_box = (t_enter <= t_exit) & (t_exit >= 0)
+    # back off one fastest-axis voxel so the shifted origin stays outside
+    t_back = 1.0 / np.max(np.abs(dv), axis=1)
+    t0 = np.where(hits_box, np.maximum(0.0, t_enter - t_back), 0.0)
+    o_r = o_vox[None, :] + t0[:, None] * dv                         # (R, 3)
+
+    # K crossings per axis cover any chord through the grid (+ the few
+    # pre-entry crossings left after the back-off)
+    Ks = [int(s) + 4 for s in sizes]
+    v0 = np.floor(o_r).astype(np.int64)                             # (R, 3)
 
     ts_list, axis_list, step_list = [], [], []
     for a in range(3):
         dva = dv[:, a]                                              # (R,)
         step = np.where(dva >= 0, 1, -1).astype(np.int64)
-        b0 = v0[a] + np.where(step < 0, 0, 1)
+        b0 = v0[:, a] + np.where(step < 0, 0, 1)
         with np.errstate(divide='ignore'):
-            tmax = np.where(dva == 0, np.inf, (b0 - o_vox[a]) / dva)
+            tmax = np.where(dva == 0, np.inf, (b0 - o_r[:, a]) / dva)
             tdelta = np.where(dva == 0, np.inf, np.abs(1.0 / dva))
         i = np.arange(Ks[a], dtype=np.float64)
         with np.errstate(invalid='ignore'):   # inf tdelta for axis-0 dirs
@@ -133,7 +154,7 @@ def render_rays(occ, origin, dirs, grid: GridConfig, free_class: int = 17):
     # voxel of segment i = v0 + sum of steps of crossings j < i
     oh = (axes_s[..., None] == np.arange(3)) * steps_s[..., None]
     moved = np.cumsum(oh, axis=1) - oh                              # exclusive
-    vox = v0[None, None, :] + moved                                 # (R, K, 3)
+    vox = v0[:, None, :] + moved                                    # (R, K, 3)
     inside = np.all((vox >= 0) & (vox < sizes), axis=-1)
     inside &= np.isfinite(ts_s)
 
@@ -149,7 +170,9 @@ def render_rays(occ, origin, dirs, grid: GridConfig, free_class: int = 17):
     last_in = inside.shape[1] - 1 - np.argmax(inside[:, ::-1], axis=1)
     pick = np.where(any_hit, first_hit, last_in)
     label = np.take_along_axis(cls, pick[:, None], axis=1)[:, 0]
-    dist = np.take_along_axis(ts_s, pick[:, None], axis=1)[:, 0]
+    # distances are measured from the CALLER's origin: add back the
+    # exterior-origin advance t0 (zero for interior origins)
+    dist = t0 + np.take_along_axis(ts_s, pick[:, None], axis=1)[:, 0]
     label = np.where(entered, label, free_class).astype(np.int32)
     dist = np.where(entered, dist, 0.0).astype(np.float64)
     return label, dist, entered

@@ -83,6 +83,47 @@ def frame_pooling_index(cfg: ModelConfig, s2k, intrins, post_rots, post_trans,
     return prepare_pooling_index(coor, cfg.grid)
 
 
+def streaming_fold_pooling_index(cfg: ModelConfig, stacked,
+                                 chunk: int, cam_chunk: int = 0):
+    """Pooling index for predict_streaming_batch's time-fold.
+
+    Folds the first n stacked (T, B, ...) frames into the batch axis —
+    n = the CAMERA fold: cam_chunk when the camera encoder is microbatched
+    inside the block, else chunk — taking each frame's key temporal-frame
+    geometry.  The eval rig is identical across frames, so one folded
+    index serves every chunk block.  This fold order must match
+    predict_streaming_batch exactly; keep it the single source of truth
+    for benches/tools.  Callers jit this and trim the result
+    (ops.bev_pool.trim_pooling_index).
+    """
+    n = cam_chunk if (cam_chunk and cam_chunk < chunk) else chunk
+
+    def fold(a):
+        return a[:n].reshape((-1,) + a.shape[2:])
+
+    return frame_pooling_index(
+        cfg, fold(stacked.sensor2keyego)[:, 0], fold(stacked.intrins)[:, 0],
+        fold(stacked.post_rots)[:, 0], fold(stacked.post_trans)[:, 0],
+        fold(stacked.bda))
+
+
+def batched_frames_pooling_index(cfg: ModelConfig, batch):
+    """Pooling index for predict(batch_frames=True)'s (B, F) fold.
+
+    All temporal frames go through ONE camera pass, so the index is built
+    on the (B*F)-folded geometry with bda repeated per frame — must match
+    _batched_frame_feats' fold order exactly; single source of truth for
+    benches/tools.  Callers jit + trim as above.
+    """
+    def fold(a):
+        return a.reshape((-1,) + a.shape[2:])
+
+    return frame_pooling_index(
+        cfg, fold(batch.sensor2keyego), fold(batch.intrins),
+        fold(batch.post_rots), fold(batch.post_trans),
+        jnp.repeat(batch.bda, batch.sensor2keyego.shape[1], axis=0))
+
+
 class FusionOcc(nn.Module):
     """cfg: model hyper-parameters.  mesh: optional jax Mesh whose 'spatial'
     axis (if present) shards the camera batch and the BEV grid across chips

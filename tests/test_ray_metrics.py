@@ -204,6 +204,32 @@ def test_render_rays_matches_official_traversal():
         np.testing.assert_allclose(dists[r], dist, rtol=0, atol=1e-6)
 
 
+def test_render_rays_exterior_origin():
+    """An origin far outside the grid must still traverse the chord: the
+    slab-test origin advance keeps the K-crossing enumeration on the grid
+    (a 300-voxel approach used to exhaust it and render never-entered)."""
+    from fusionocc_tpu.eval.ray_metrics import render_rays
+    grid = _grid()
+    gt = _wall_scene(grid, cls=4, x_wall=4.0)
+
+    origin = np.array([-128.0, 0.2, 0.5])       # 300 voxels outside on -x
+    dirs = np.array([[1.0, 0.0, 0.0],           # through the wall
+                     [-1.0, 0.0, 0.0],          # away from the grid
+                     [0.0, 1.0, 0.0]], np.float64)  # parallel miss
+    labels, dists, entered = render_rays(gt, origin, dirs, grid)
+    assert entered[0] and labels[0] == 4
+    # wall front face at x=4.0, origin at x=-128 -> 132 m
+    np.testing.assert_allclose(dists[0], 132.0 + grid.x[2], atol=1e-6)
+    assert not entered[1] and labels[1] == 17
+    assert not entered[2] and labels[2] == 17
+
+    # interior origin: unchanged semantics (dist from the caller's origin)
+    o_in = np.array([0.0, 0.2, 0.5])
+    l2, d2, e2 = render_rays(gt, o_in, dirs[:1], grid)
+    assert e2[0] and l2[0] == 4
+    np.testing.assert_allclose(d2[0], 4.0 + grid.x[2], atol=1e-6)
+
+
 def test_rayiou_metric_accumulates_like_calc_metrics():
     """RayIoUMetric over two samples == the official calc_metrics run on the
     concatenated per-ray (label, dist) lists (ray_metrics_occ3d.py:187-235)."""

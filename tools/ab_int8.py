@@ -44,8 +44,8 @@ def main():
 
     from fusionocc_tpu.config import full_model_config, tiny_model_config
     from fusionocc_tpu.data.synthetic import synthetic_batch
-    from fusionocc_tpu.models.fusion_occ import (FusionOcc,
-                                                 frame_pooling_index)
+    from fusionocc_tpu.models.fusion_occ import (
+        FusionOcc, batched_frames_pooling_index)
     from fusionocc_tpu.ops.bev_pool import trim_pooling_index
     from fusionocc_tpu.utils.timing import burst_best_mean
 
@@ -62,17 +62,8 @@ def main():
                               'dropout': jax.random.PRNGKey(1)},
                              b, train=False))(b0)
 
-    F = cfg.num_frame
-
-    def folded_two_idx(bb):
-        def f2(a):
-            return a.reshape((-1,) + a.shape[2:])
-        return frame_pooling_index(
-            cfg, f2(bb.sensor2keyego), f2(bb.intrins), f2(bb.post_rots),
-            f2(bb.post_trans), jnp.repeat(bb.bda, F, axis=0))
-
-    pool_two = trim_pooling_index(jax.block_until_ready(
-        jax.jit(folded_two_idx)(b0)))
+    pool_two = trim_pooling_index(jax.block_until_ready(jax.jit(
+        lambda bb: batched_frames_pooling_index(cfg, bb))(b0)))
 
     results = {}
     logits = {}

@@ -39,15 +39,13 @@ def main():
 
     from fusionocc_tpu.config import full_model_config, tiny_model_config
     from fusionocc_tpu.data.synthetic import synthetic_batch
-    from fusionocc_tpu.models.fusion_occ import (FusionOcc,
-                                                 frame_pooling_index)
+    from fusionocc_tpu.models.fusion_occ import (
+        FusionOcc, batched_frames_pooling_index)
     from fusionocc_tpu.ops.bev_pool import trim_pooling_index
     from fusionocc_tpu.utils.timing import burst_best_mean
 
     cfg = tiny_model_config() if args.tiny else full_model_config()
     model = FusionOcc(cfg)
-    F = cfg.num_frame
-
     b1 = jax.device_put(synthetic_batch(cfg, 1, seed=0))
     variables = jax.jit(
         lambda b: model.init({'params': jax.random.PRNGKey(0),
@@ -61,16 +59,9 @@ def main():
             batches = [jax.device_put(synthetic_batch(cfg, B, seed=s))
                        for s in range(2)]
 
-            def folded_idx(bb):
-                def f2(a):
-                    return a.reshape((-1,) + a.shape[2:])
-                return frame_pooling_index(
-                    cfg, f2(bb.sensor2keyego), f2(bb.intrins),
-                    f2(bb.post_rots), f2(bb.post_trans),
-                    jnp.repeat(bb.bda, F, axis=0))
-
-            pool = trim_pooling_index(jax.block_until_ready(
-                jax.jit(folded_idx)(batches[0])))
+            pool = trim_pooling_index(jax.block_until_ready(jax.jit(
+                lambda bb: batched_frames_pooling_index(cfg, bb))(
+                    batches[0])))
 
             @jax.jit
             def step(v, b, pi):

@@ -55,8 +55,8 @@ def main():
 
     metric = OccupancyMetric(use_image_mask=not args.no_mask)
     f_acc, n = [], 0
-    ray_metric = RayIoUMetric(grid) if args.rayiou else None
     grid = GridConfig()
+    ray_metric = RayIoUMetric(grid) if args.rayiou else None
     for pf, info in zip(pred_files, infos):
         pred = np.load(pf)['occ_pred']
         if pred.ndim == 4:

@@ -24,8 +24,8 @@ def main():
 
     from fusionocc_tpu.config import full_model_config
     from fusionocc_tpu.data.synthetic import synthetic_batch
-    from fusionocc_tpu.models.fusion_occ import (FusionOcc,
-                                                 frame_pooling_index)
+    from fusionocc_tpu.models.fusion_occ import (
+        FusionOcc, frame_pooling_index, streaming_fold_pooling_index)
     from fusionocc_tpu.ops.bev_pool import trim_pooling_index
 
     T = int(sys.argv[1]) if len(sys.argv) > 1 else 8
@@ -73,20 +73,9 @@ def main():
           f'({dt * 1e3:.0f} total)', flush=True)
 
     for chunk, cam_chunk in chunks:
-        # pooling index folded to the CAMERA batch (= cam_chunk*B when
-        # microbatched, else chunk*B); identical rig per frame, so one
-        # folded index serves every block
-        fold_n = cam_chunk if (cam_chunk and cam_chunk < chunk) else chunk
-
-        def folded_idx(st, n=fold_n):
-            def fold(a):
-                return a[:n].reshape((-1,) + a.shape[2:])
-            return frame_pooling_index(
-                cfg, fold(st.sensor2keyego)[:, 0], fold(st.intrins)[:, 0],
-                fold(st.post_rots)[:, 0], fold(st.post_trans)[:, 0],
-                fold(st.bda))
-        pool_c = trim_pooling_index(jax.block_until_ready(
-            jax.jit(folded_idx)(stacked)))
+        pool_c = trim_pooling_index(jax.block_until_ready(jax.jit(
+            lambda st, c=chunk, cc=cam_chunk:
+            streaming_fold_pooling_index(cfg, st, c, cc))(stacked)))
 
         @jax.jit
         def bat_step(v, f, s, r, pi, c=chunk, cc=cam_chunk):

@@ -12,10 +12,11 @@ mkdir -p "$out"
 echo "writing to $out"
 
 run() {  # run <budget_s> <name> <cmd...>
-  local budget=$1 name=$2; shift 2
+  local budget=$1 name=$2 rc; shift 2
   echo "=== $name ($(date +%H:%M:%S), budget ${budget}s) ==="
   timeout "$budget" "$@" 2>&1 | tee "$out/$name.log"
-  echo "--- $name exit=$? ---"
+  rc=${PIPESTATUS[0]}      # the tool's status, not tee's (124 = timeout)
+  echo "--- $name exit=$rc ---"
 }
 
 # 1. headline: sweeps chunk 4 / 8:4 / 8:2 candidates itself
@@ -24,12 +25,12 @@ run 3000 bench python bench.py
 run 1800 ab_int8 python tools/ab_int8.py --iters 4
 # 3. lidar-branch bisection incl. block-vs-row gather A/B
 run 1200 profile_lidar python tools/profile_lidar.py
-# 4. camera-branch per-stage/per-op bisection (Swin is single-digit MFU)
+# 4. camera-branch per-stage/per-op bisection (locate the low-MFU ops)
 run 2400 profile_camera python tools/profile_camera.py
 # 5. streaming chunk sweep (finer grid than bench's 3 candidates)
 run 2400 profile_streaming python tools/profile_streaming.py 8 1,2,4,8
-# 5. two-pass eval fps vs batch size (reference eval semantics)
+# 6. two-pass eval fps vs batch size (reference eval semantics)
 run 1800 ab_twopass_batch python tools/ab_twopass_batch.py --batches 1,2,4
-# 6. full-size train step s/iter (compile ~4.5 min)
+# 7. full-size train step s/iter (compile ~4.5 min)
 run 2400 profile_train python tools/profile_train.py --steps 4 --bursts 2
 echo "all done -> $out"
