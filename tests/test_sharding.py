@@ -116,3 +116,56 @@ def test_confusion_matrix_global_under_data_sharding():
     got = jax.jit(confusion_matrix, in_shardings=(dsh, dsh, dsh),
                   out_shardings=repl)(*args)
     np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason='needs >=4 devices')
+def test_streaming_batch_under_hybrid_mesh():
+    """The streaming SERVING path (predict_streaming_batch) under a 2x2
+    data x spatial mesh must match the single-device run: batch sharded
+    over 'data', cameras/BEV grid model-parallel over 'spatial' — the
+    multi-chip deployment mode for the latency north star."""
+    from fusionocc_tpu.models.fusion_occ import FusionOcc
+    from fusionocc_tpu.parallel.mesh import hybrid_mesh
+
+    cfg = tiny_model_config()
+    model = FusionOcc(cfg)
+    T, B = 4, 2
+    frames = [synthetic_batch(cfg, B, s, num_points=512) for s in range(T)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, 0), *frames)
+    variables = jax.jit(lambda bb: model.init(
+        {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+        bb, train=False))(frames[0])
+    state = model.apply(variables, B, method=FusionOcc.init_streaming_state)
+    resets = jnp.asarray(np.array([[False] * B, [False] * B,
+                                   [True] * B, [False] * B]))
+
+    ref, s_ref = jax.jit(lambda v, f, s, r: model.apply(
+        v, f, s, resets=r, chunk=2,
+        method=FusionOcc.predict_streaming_batch))(
+        variables, stacked, state, resets)
+
+    mesh = hybrid_mesh(2, 2)
+    model_sp = FusionOcc(cfg, mesh=mesh)
+    repl = NamedSharding(mesh, P())
+    tb = NamedSharding(mesh, P(None, 'data'))       # (T, B, ...) on batch
+    bsh = NamedSharding(mesh, P('data'))            # state on batch
+    v_r = jax.device_put(variables, repl)
+    f_s = jax.tree_util.tree_map(lambda x: jax.device_put(x, tb), stacked)
+    st_s = jax.tree_util.tree_map(lambda x: jax.device_put(x, bsh), state)
+    got, s_got = jax.jit(
+        lambda v, f, s, r: model_sp.apply(
+            v, f, s, resets=r, chunk=2,
+            method=FusionOcc.predict_streaming_batch),
+        in_shardings=(repl, tb, bsh, jax.device_put(resets, tb).sharding))(
+        v_r, f_s, st_s, jax.device_put(resets, tb))
+
+    # class-id agreement: conv reduction order shifts under spatial
+    # partitioning, so compare predictions (uint8) with a tiny tolerance
+    # on the handful of boundary ties, and the carried state numerically
+    agree = (np.asarray(got) == np.asarray(ref)).mean()
+    assert agree > 0.999, agree
+    np.testing.assert_allclose(np.asarray(s_got.voxel_feat),
+                               np.asarray(s_ref.voxel_feat),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_array_equal(np.asarray(s_got.valid),
+                                  np.asarray(s_ref.valid))
