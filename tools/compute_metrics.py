@@ -31,6 +31,8 @@ def main():
     ap.add_argument('--no-mask', action='store_true')
     ap.add_argument('--fscore', action='store_true')
     ap.add_argument('--rayiou', action='store_true')
+    ap.add_argument('--buckets', action='store_true',
+                    help='radius/height-bucketed mIoU tables')
     args = ap.parse_args()
 
     # Host-side scorer: force the CPU backend.  The preset JAX_PLATFORMS=axon
@@ -53,9 +55,10 @@ def main():
     pred_files = sorted(glob.glob(os.path.join(args.pred_dir, 'pred_*.npz')))
     assert pred_files, f'no predictions under {args.pred_dir}'
 
-    metric = OccupancyMetric(use_image_mask=not args.no_mask)
-    f_acc, n = [], 0
     grid = GridConfig()
+    metric = OccupancyMetric(use_image_mask=not args.no_mask,
+                             grid=grid if args.buckets else None)
+    f_acc, n = [], 0
     ray_metric = RayIoUMetric(grid) if args.rayiou else None
     for pf, info in zip(pred_files, infos):
         pred = np.load(pf)['occ_pred']

@@ -34,6 +34,10 @@ def main():
     ap.add_argument('--no-ema', action='store_true')
     ap.add_argument('--save-predictions', default=None,
                     help='directory for per-sample .npz prediction dumps')
+    ap.add_argument('--buckets', action='store_true',
+                    help='also report radius/height-bucketed mIoU '
+                         '(the reference base evaluator\'s distance-'
+                         'conditioned tables)')
     ap.add_argument('--rayiou', action='store_true',
                     help='also compute RayIoU from the batch point clouds')
     ap.add_argument('--streaming', action='store_true',
@@ -176,7 +180,8 @@ def main():
             return _predict(batch, idxs)
 
     metric = OccupancyMetric(num_classes=model_cfg.num_classes,
-                             use_image_mask=model_cfg.use_mask)
+                             use_image_mask=model_cfg.use_mask,
+                             grid=model_cfg.grid if args.buckets else None)
     lat = []
     from fusionocc_tpu.eval.ray_metrics import RayIoUMetric
     ray_metric = RayIoUMetric(model_cfg.grid)
