@@ -133,3 +133,52 @@ def test_burnin_tool_smoke(tmp_path):
     finally:
         sys.argv = argv
     assert (tmp_path / 'loss_curve.jsonl').exists()
+
+
+def test_analyze_occ_gt_and_filter_samples(tmp_path):
+    """GT statistics + scene-description filtering on a fake dataset tree."""
+    rng = np.random.RandomState(2)
+    infos = []
+    for i in range(3):
+        token = f'tok{i}'
+        gt_dir = tmp_path / 'gts' / f'scene-{i:04d}' / token
+        gt_dir.mkdir(parents=True)
+        sem = rng.randint(0, 18, (20, 20, 4)).astype(np.uint8)
+        mask = rng.rand(20, 20, 4) > 0.3
+        np.savez(gt_dir / 'labels.npz', semantics=sem,
+                 mask_camera=mask.astype(np.uint8),
+                 mask_lidar=mask.astype(np.uint8))
+        infos.append({'token': token, 'timestamp': i,
+                      'occ_path': str(gt_dir),
+                      'scene_token': f'sc{i}'})
+    ann = tmp_path / 'infos_val.pkl'
+    with open(ann, 'wb') as f:
+        pickle.dump({'data_list': infos}, f)
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools', 'analyze_occ_gt.py'),
+         '--ann-file', str(ann)],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, 'JAX_PLATFORMS': 'cpu'})
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert 'camera-mask coverage' in out.stdout
+    assert 'driveable_surface' in out.stdout
+
+    # scene.json with descriptions; filter by 'rain'
+    ver = tmp_path / 'v1.0-trainval'
+    ver.mkdir()
+    with open(ver / 'scene.json', 'w') as f:
+        json.dump([{'token': 'sc0', 'description': 'Sunny day'},
+                   {'token': 'sc1', 'description': 'Heavy RAIN at night'},
+                   {'token': 'sc2', 'description': 'rainy intersection'}], f)
+    outp = tmp_path / 'filtered.pkl'
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools', 'filter_samples.py'),
+         '--input-pkl', str(ann), '--data-root', str(tmp_path),
+         '--query', 'rain', '--output', str(outp)],
+        capture_output=True, text=True, timeout=120,
+        env={**os.environ, 'JAX_PLATFORMS': 'cpu'})
+    assert out.returncode == 0, out.stderr[-2000:]
+    with open(outp, 'rb') as f:
+        kept = pickle.load(f)['data_list']
+    assert [k['token'] for k in kept] == ['tok1', 'tok2']
