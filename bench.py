@@ -109,11 +109,21 @@ def main():
     # costs ~B=1), so folding the clip's frames into the batch axis
     # amortizes the LiDAR branch's dominant fixed costs ~chunk-fold.
     dt_batched = {}
+    # Soft time budget: candidate programs are large and a COLD compile
+    # cache could otherwise eat the driver's whole bench window before the
+    # JSON line prints.  Skipped candidates are reported; core modes
+    # (scan / single / two-pass) always run.
+    t0 = time.time()
+    budget_s = float(os.environ.get('FUSIONOCC_BENCH_BUDGET_S', 2100))
     # (chunk, cam_chunk): cam_chunk microbatches the FLOP-bound camera
     # encoder inside the block (lax.map) so chunk=8 doesn't hold 48 Swin
     # images of activations at once; the fold exists for the latency-bound
     # LiDAR sorts, which still run at the full chunk*B
     for chunk, cam_chunk in ((4, 0), (8, 4), (8, 2)):
+        if time.time() - t0 > budget_s:
+            print(f'# budget: skipping chunk={chunk}:{cam_chunk} '
+                  f'(elapsed {time.time() - t0:.0f}s)', flush=True)
+            continue
         try:
             pool_c = trim_pooling_index(jax.block_until_ready(jax.jit(
                 lambda stk, c=chunk, cc=cam_chunk:

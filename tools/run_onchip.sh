@@ -19,8 +19,10 @@ run() {  # run <budget_s> <name> <cmd...>
   echo "--- $name exit=$rc ---"
 }
 
-# 1. headline: sweeps chunk 4 / 8:4 / 8:2 candidates itself
-run 3000 bench python bench.py
+# 1. headline: sweeps chunk 4 / 8:4 / 8:2 candidates itself (first on-chip
+# run cold-compiles the 3 candidate programs; allow a bigger window here so
+# the driver's later bench run hits a warm cache)
+run 4500 bench env FUSIONOCC_BENCH_BUDGET_S=3000 python bench.py
 # 2. int8 image-backbone serving A/B (batched-frames two-pass)
 run 1800 ab_int8 python tools/ab_int8.py --iters 4
 # 3. lidar-branch bisection incl. block-vs-row gather A/B
