@@ -149,7 +149,7 @@ def main():
                 run_bat, [None], iters=4) / SCAN_T
         except Exception as e:            # compile/oom: report what works
             print(f'# batched chunk={chunk}:{cam_chunk} failed: '
-                  f'{type(e).__name__}', flush=True)
+                  f'{type(e).__name__}: {str(e)[:300]}', flush=True)
 
     # --- single-frame streaming latency mode ------------------------------
     @jax.jit

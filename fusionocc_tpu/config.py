@@ -115,21 +115,40 @@ class SparseEncoderConfig:
     # actives.  Round-2's (2^17, 2^16, 2^15, 2^14) silently truncated ~60%
     # of stage-1..3 voxels.
     voxel_capacity: Tuple[int, ...] = (2 ** 17, 196608, 98304, 49152)
-    # Block-sparse tile path (ops/tile_sparse.py): 'tile' runs the encoder
-    # as dense MXU convs over halo'd ts^3 active tiles; 'coo' keeps the
-    # gather-GEMM COO path (the reference-shaped formulation).
-    backend: str = 'coo'   # flipped to 'tile' by full/tiny presets once
-                           # equivalence holds; 'coo' is the fallback
+    # Encoder backend:
+    #   'coo'   — gather-GEMM over per-voxel COO rows (reference-shaped);
+    #   'tile'  — dense MXU convs over halo'd ts^3 tiles (measured 10x
+    #             SLOWER end-to-end: halo HBM traffic; kept as a documented
+    #             alternative formulation);
+    #   'zfold' — 8 z-consecutive cells folded into one 128-lane super row
+    #             (ops/zfold.py): 256+ B gather descriptors, F-times
+    #             smaller index tables, convs as clean MXU GEMMs.
+    backend: str = 'zfold'
     # COO gather flavor: 'row' issues 27 single-row gathers per output
     # voxel; 'block' exploits z-fastest key order (a column's found z-taps
     # occupy consecutive rows) to fetch 9 contiguous 3-row slices instead
     # — 3x fewer gather descriptors (ops/sparse_conv.py
-    # sparse_conv_apply_block).
+    # sparse_conv_apply_block).  Measured on chip: 'block' is 2.1x SLOWER
+    # (85.9 vs 41.0 ms at stage 0) — its (V, 9) bool temps pad 14.2x in
+    # TPU tile layout — so 'row' stays the default.
     gather: str = 'row'
+    # Neighbor-map builds: 'table' scatters row ids into a dense per-cell
+    # int32 table and reads taps with O(1) gathers (no sorts — XLA's TPU
+    # sort is a log^2 n bitonic network and the merge builds cost ~114 ms
+    # per stage at V=131k); 'merge' keeps the sort-merge formulation
+    # (ops/sparse_conv.py stage_indices_table vs build_subm_index).
+    index: str = 'table'
     tile_size: int = 8
     # Active-tile capacities per stage (~12.6k/7k/3k/1k measured on the
     # beam-model cloud at stage 0..3 + dilation headroom).
     tile_capacity: Tuple[int, ...] = (2 ** 14, 2 ** 13, 2 ** 12, 1250)
+    # zfold backend: fold factor (8 x base_channels 16 = exactly one
+    # 128-lane tile) and per-stage active-SUPER capacities.  Measured on
+    # the beam-model cloud: 67260 / 72628 / 63083 / 24624 candidate supers
+    # (stages 1+ use the conservative super-level dilation rule, hence
+    # stage2's 63k vs 34k true) — pinned by tests/test_capacity.py.
+    zfold: int = 8
+    zfold_capacity: Tuple[int, ...] = (81920, 86016, 73728, 32768)
 
     def sparse_shape(self, grid: GridConfig) -> Tuple[int, int, int]:
         pcr = grid.point_cloud_range
@@ -262,7 +281,8 @@ def tiny_model_config(**overrides) -> ModelConfig:
         voxel_size=(0.1, 0.1, 0.1),
         point_capacity=2048,
         voxel_capacity=(1024, 512, 256, 128),
-        tile_capacity=(512, 256, 64, 16))
+        tile_capacity=(512, 256, 64, 16),
+        zfold_capacity=(1024, 512, 256, 128))
     vt = ViewTransformerConfig(
         in_channels=32, mid_channels=16, feature_channels=8,
         seg_num_classes=18, downsample=16, aspp_mid_channels=8)

@@ -25,9 +25,13 @@ import jax.numpy as jnp
 from ..config import GridConfig, SparseEncoderConfig
 from ..nn.layers import MaskedBatchNorm
 from ..ops.sparse_conv import (build_strided_index, build_subm_index,
+                               out_shape_strided,
                                sparse_conv1x1_apply, sparse_conv_apply,
                                sparse_conv_apply_block,
-                               sparse_to_dense)
+                               sparse_to_dense, stage_indices_table)
+from ..ops.zfold import (ZFoldVoxels, as_sparse, expand_lane_mask,
+                         expand_weight, strided_lane_mask, super_shape,
+                         zfold_regroup, zfold_to_dense)
 from ..ops.tile_sparse import (TileVoxels, neighbor_slots, tile_conv1x1,
                                tile_grid, tile_strided_apply,
                                tile_strided_prepare, tile_subm_conv,
@@ -49,24 +53,38 @@ class SubMConvBN(nn.Module):
     norm: bool = True
     act: bool = True
     tile: bool = False
+    fold: int = 0          # >0: zfold super rows (ops/zfold.py)
     gather: str = 'row'
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, mask, nbr_idx, train: bool = False):
-        # z-folded tile feats carry ts*C lanes; the param stays (27, C, Cout)
-        cin = feats.shape[-1] // feats.shape[-2] if self.tile \
-            else feats.shape[-1]
+    def __call__(self, feats, mask, nbr_idx, train: bool = False,
+                 lane_mask=None):
+        # z-folded feats carry ts*C / fold*C lanes; the param stays
+        # (27, C, Cout) — backend-interchangeable checkpoints
+        if self.tile:
+            cin = feats.shape[-1] // feats.shape[-2]
+        elif self.fold:
+            cin = feats.shape[-1] // self.fold
+        else:
+            cin = feats.shape[-1]
         w = self.param('kernel', nn.initializers.he_normal(),
                        (27, cin, self.features), jnp.float32)
         if self.tile:
             y = tile_subm_conv(feats, mask, nbr_idx, w)
+        elif self.fold:
+            w_e = expand_weight(w, self.fold, self.fold, 1)
+            y = sparse_conv_apply(feats, mask, nbr_idx, w_e)
         elif self.gather == 'block':
             y = sparse_conv_apply_block(feats, mask, nbr_idx, w)
         else:
             y = sparse_conv_apply(feats, mask, nbr_idx, w)
         if self.norm:
-            y = MaskedBatchNorm(dtype=self.dtype)(y, mask, train=train)
+            bn_mask = lane_mask if self.fold else mask
+            y = MaskedBatchNorm(fold=self.fold, dtype=self.dtype)(
+                y, bn_mask, train=train)
+        elif self.fold:
+            y = y * expand_lane_mask(lane_mask, self.features, y.dtype)
         if self.act:
             y = nn.relu(y)
         return y
@@ -81,22 +99,34 @@ class SparseConvBNStride2(nn.Module):
     """
     features: int
     tile: bool = False
+    fold_in: int = 0       # >0: zfold super rows (ops/zfold.py)
+    fold_out: int = 0
     gather: str = 'row'
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, out_mask, nbr_idx, train: bool = False):
-        cin = feats.shape[-1] // feats.shape[-2] if self.tile \
-            else feats.shape[-1]
+    def __call__(self, feats, out_mask, nbr_idx, train: bool = False,
+                 out_lane_mask=None):
+        if self.tile:
+            cin = feats.shape[-1] // feats.shape[-2]
+        elif self.fold_in:
+            cin = feats.shape[-1] // self.fold_in
+        else:
+            cin = feats.shape[-1]
         w = self.param('kernel', nn.initializers.he_normal(),
                        (27, cin, self.features), jnp.float32)
         if self.tile:
             y = tile_strided_apply(feats, nbr_idx, w)
+        elif self.fold_in:
+            w_e = expand_weight(w, self.fold_in, self.fold_out, 2)
+            y = sparse_conv_apply(feats, out_mask, nbr_idx, w_e)
         elif self.gather == 'block':
             y = sparse_conv_apply_block(feats, out_mask, nbr_idx, w)
         else:
             y = sparse_conv_apply(feats, out_mask, nbr_idx, w)
-        y = MaskedBatchNorm(dtype=self.dtype)(y, out_mask, train=train)
+        bn_mask = out_lane_mask if self.fold_in else out_mask
+        y = MaskedBatchNorm(fold=self.fold_out, dtype=self.dtype)(
+            y, bn_mask, train=train)
         return nn.relu(y)
 
 
@@ -127,23 +157,32 @@ class SparseEncoder(nn.Module):
 
         if use_tile:
             return self._tile_stages(feats, sp, shape, train)
+        if cfg.backend == 'zfold':
+            return self._zfold_stages(feats, sp, shape, train)
 
         cur = SparseVoxels(feats, sp.coords, sp.keys, sp.mask)
         cur_shape = shape
         num_stages = len(cfg.encoder_channels)
         for i, blocks in enumerate(cfg.encoder_channels):
-            nbr = build_subm_index(cur, cur_shape)  # shared indice_key subm{i}
-            n_subm = len(blocks) - 1 if i < num_stages - 1 else len(blocks)
+            last = i == num_stages - 1
+            down_cap = None if last else cfg.voxel_capacity[i + 1]
+            if cfg.index == 'table':
+                # one dense row table per stage serves the shared subm map
+                # AND the strided map (the spconv indice_key mechanism)
+                nbr, strided = stage_indices_table(cur, cur_shape, down_cap)
+            else:
+                nbr = build_subm_index(cur, cur_shape)
+                strided = None if last else build_strided_index(
+                    cur, cur_shape, down_cap)
+            n_subm = len(blocks) - 1 if not last else len(blocks)
             f = cur.feats
             for j in range(n_subm):
                 f = SubMConvBN(blocks[j], dtype=self.dtype,
                                gather=cfg.gather,
                                name=f'stage{i}_subm{j}')(
                     f, cur.mask, nbr, train=train)
-            if i < num_stages - 1:
-                (oc, okeys, om, snbr), out_shape = build_strided_index(
-                    SparseVoxels(f, cur.coords, cur.keys, cur.mask),
-                    cur_shape, cfg.voxel_capacity[i + 1])
+            if not last:
+                (oc, okeys, om, snbr), out_shape = strided
                 f = SparseConvBNStride2(blocks[-1], dtype=self.dtype,
                                         gather=cfg.gather,
                                         name=f'stage{i}_down')(
@@ -162,6 +201,59 @@ class SparseEncoder(nn.Module):
         dense = sparse_to_dense(f, cur.keys, cur.mask, cur_shape)
         # (B, X, Y, Z, C) -> (B, Z, Y, X, C): matches the image voxel layout
         # (the reference permutes to (B, C, z, y, x), fusion_occ.py:795)
+        return jnp.transpose(dense, (0, 3, 2, 1, 4))
+
+    def _zfold_stages(self, feats, sp: SparseVoxels, shape, train: bool):
+        """z-folded backend (ops/zfold.py): F=8 z-consecutive cells per
+        128-lane super row; table index builds run on the F-times-smaller
+        super grid and every conv is a clean (S, 27*F*Cin) MXU GEMM.  Same
+        parameter tree as the COO path (module names + (27, Cin, Cout)
+        kernels), so checkpoints are backend-interchangeable; equivalence
+        is tested in tests/test_zfold.py."""
+        cfg = self.cfg
+        zf = zfold_regroup(SparseVoxels(feats, sp.coords, sp.keys, sp.mask),
+                           shape, cfg.zfold_capacity[0],
+                           min(cfg.zfold, shape[2]))
+        cur_cells = shape
+        num_stages = len(cfg.encoder_channels)
+        for i, blocks in enumerate(cfg.encoder_channels):
+            last = i == num_stages - 1
+            sshape = super_shape(cur_cells, zf.fold)
+            down_cap = None if last else cfg.zfold_capacity[i + 1]
+            nbr, strided = stage_indices_table(as_sparse(zf), sshape,
+                                               down_cap)
+            n_subm = len(blocks) - 1 if not last else len(blocks)
+            f = zf.feats
+            for j in range(n_subm):
+                f = SubMConvBN(blocks[j], fold=zf.fold, dtype=self.dtype,
+                               name=f'stage{i}_subm{j}')(
+                    f, zf.mask, nbr, train=train, lane_mask=zf.lane_mask)
+            if not last:
+                (oc, okeys, om, snbr), sshape_out = strided
+                out_cells = out_shape_strided(cur_cells)
+                f_out = min(cfg.zfold, out_cells[2])
+                out_lane = strided_lane_mask(zf.lane_mask, om, snbr,
+                                             zf.fold, f_out)
+                f = SparseConvBNStride2(blocks[-1], fold_in=zf.fold,
+                                        fold_out=f_out, dtype=self.dtype,
+                                        name=f'stage{i}_down')(
+                    f, om, snbr, train=train, out_lane_mask=out_lane)
+                oc2 = jnp.where(om[..., None], oc, 0)
+                zf = ZFoldVoxels(f, oc2, okeys, om, out_lane, f_out)
+                cur_cells = out_cells
+            else:
+                zf = zf._replace(feats=f)
+
+        # conv_out: 1x1 SubM, conv only (lidar_encoder.py:80-89) — per-lane
+        # block-diagonal kron(I_F, W) matmul
+        cin = zf.feats.shape[-1] // zf.fold
+        w_out = self.param('conv_out_kernel', nn.initializers.he_normal(),
+                           (cin, cfg.output_channels), jnp.float32)
+        w_bd = jax.scipy.linalg.block_diag(*([w_out] * zf.fold))
+        f = sparse_conv1x1_apply(zf.feats, zf.mask, w_bd)
+
+        dense = zfold_to_dense(zf._replace(feats=f), cur_cells,
+                               cfg.output_channels)
         return jnp.transpose(dense, (0, 3, 2, 1, 4))
 
     def _tile_stages(self, feats, sp: SparseVoxels, shape, train: bool):

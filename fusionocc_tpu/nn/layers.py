@@ -53,15 +53,21 @@ class MaskedBatchNorm(nn.Module):
         the flat cell mask (B, T+1, ts^3) (x.ndim == mask.ndim + 2).  Lane
         sums collapse to per-channel sums via a ``(ts*C, C)`` 0/1 matmul so
         statistics never materialize the padding-hostile unfolded layout.
+      - z-folded super rows (ops/zfold.py, ``fold=F`` set): x (B, S, F*C)
+        with the cell lane mask (B, S, F); same lane-collapse trick.
     """
     momentum: float = 0.99
     epsilon: float = 1e-3
+    fold: int = 0           # >0: zfold lane layout (..., fold*C)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, train: bool = False):
-        folded = x.ndim == mask.ndim + 2
-        if folded:
+        folded = self.fold > 0 or x.ndim == mask.ndim + 2
+        if self.fold > 0:
+            ts = self.fold
+            C = x.shape[-1] // ts
+        elif folded:
             ts = x.shape[-2]
             C = x.shape[-1] // ts
         else:
@@ -75,8 +81,11 @@ class MaskedBatchNorm(nn.Module):
 
         xf = x.astype(jnp.float32)
         if folded:
-            from ..ops.tile_sparse import expand_cell_mask
-            m = expand_cell_mask(mask, ts, C, jnp.float32)
+            if self.fold > 0:
+                m = jnp.repeat(mask.astype(jnp.float32), C, axis=-1)
+            else:
+                from ..ops.tile_sparse import expand_cell_mask
+                m = expand_cell_mask(mask, ts, C, jnp.float32)
             collapse = jnp.asarray(
                 np.tile(np.eye(C, dtype=np.float32), (ts, 1)))
             red = tuple(range(xf.ndim - 1))

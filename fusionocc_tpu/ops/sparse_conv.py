@@ -238,6 +238,154 @@ def sparse_conv_apply_block(feats: jnp.ndarray, mask_out: jnp.ndarray,
     return jnp.where(mask_out[..., None], out, 0)
 
 
+# ---------------------------------------------------------------------------
+# Dense row-id table index builds.
+#
+# The merge-based builds above reformulate neighbor lookup as sorts, but
+# XLA's TPU sort is a bitonic network (log^2 n compare stages) — measured
+# 113.8 ms for ONE stage-0 subm build at V=131k (tools/profile_lidar.py).
+# The table formulation replaces every sort with linear-memory primitives
+# that the TPU executes at bandwidth:
+#   - scatter arange(V) row ids into a dense per-cell int32 table (a memset
+#     + a V-element row scatter — small scatters are fast on TPU, see
+#     sparse_to_dense);
+#   - a neighbor lookup is then ONE gather from the table at the tap's cell
+#     index: O(1) per tap, no merge volume at all.
+# The stage-0 table is sx*sy*sz int32 (1.31 GB at 1600x1600x128) but
+# transient and built per-sample under lax.map when large, so at most one
+# (plus pipelining) is alive at a time.
+#
+# Layout rule (learned the hard way from sparse_conv_apply_block's OOM):
+# every intermediate keeps the VOXEL axis LAST — (9, V) / (27, V) — because
+# a trailing dim of 3/9/27 pads to the 128-lane tile (14-42x memory
+# expansion).  Only the final neighbor map is transposed to the (V, 27)
+# layout the conv applies expect.
+# ---------------------------------------------------------------------------
+
+_TABLE_VMAP_CELLS = 2 ** 26   # above this, build per-sample under lax.map
+
+
+def _row_table_one(keys: jnp.ndarray, mask: jnp.ndarray,
+                   n_cells: int) -> jnp.ndarray:
+    """(n_cells + 3,) int32 cell -> row table, miss/invalid -> V.
+
+    Front-padded by one miss cell and back-padded by two so a 3-tap z-slice
+    starting at cell c reads table[c .. c+2] = cells (c-1, c, c+1) without
+    any boundary clamping; out-of-grid xy columns read the back pads.
+    """
+    v = keys.shape[0]
+    pos = jnp.where(mask, keys + 1, n_cells + 3)   # OOB -> dropped
+    table = jnp.full((n_cells + 3,), v, jnp.int32)
+    # keys are sorted and unique (ops.voxelize invariant) — assert it so XLA
+    # vectorizes the scatter instead of serializing per element
+    return table.at[pos].set(jnp.arange(v, dtype=jnp.int32), mode='drop',
+                             unique_indices=True, indices_are_sorted=True)
+
+
+def _index_from_table_one(table: jnp.ndarray, out_coords, out_mask,
+                          shape_in: Tuple[int, int, int], stride: int,
+                          v_in: int) -> jnp.ndarray:
+    """Neighbor map (V_out, 27) from a row table; miss/invalid -> V_in.
+
+    Same query geometry as _build_index_one (in = out*stride + tap - 1,
+    base z tap dz=1 always in range); taps are read with three (9, V)
+    element gathers in tap-major layout.
+    """
+    sx, sy, sz = shape_in
+    n_cells = sx * sy * sz
+    offs2 = jnp.asarray(XY_OFFSETS, jnp.int32)              # (9, 2)
+    qx = out_coords[None, :, 0] * stride + offs2[:, 0, None] - 1  # (9, V)
+    qy = out_coords[None, :, 1] * stride + offs2[:, 1, None] - 1
+    zb = (out_coords[:, 2] * stride)[None, :]                     # (1, V)
+    ok_xy = (out_mask[None, :]
+             & (qx >= 0) & (qx < sx) & (qy >= 0) & (qy < sy))     # (9, V)
+    # padded-table slice base: index c reads cell c-1; taps dz in {0,1,2}
+    # live at c+dz with c = the (x', y', z*stride) cell index
+    c = jnp.where(ok_xy, (qx * sy + qy) * sz + zb, n_cells)
+    taps = []
+    for dz in range(3):
+        nbr_dz = jnp.take(table, c + dz, mode='clip')             # (9, V)
+        zt = zb + dz - 1
+        ok = ok_xy & (zt >= 0) & (zt < sz)
+        taps.append(jnp.where(ok, nbr_dz, v_in))
+    nbr = jnp.stack(taps, axis=1)                # (9, 3, V) tap-major
+    return jnp.transpose(nbr.reshape(27, -1))   # (V_out, 27)
+
+
+def _downsample_out_set_table_one(in_coords, in_mask, shape_out,
+                                  capacity: int):
+    """Active stride-2 output set via dense occupancy + prefix sum.
+
+    Same receptive-field rule and overflow semantics as
+    _downsample_coords_one (first `capacity` unique out keys ascending),
+    without the 8V-row sort: scatter candidate cells into a dense int32
+    occupancy grid, prefix-sum it, and read unique cell #i at the first
+    index whose running count reaches i+1 (binary search over the monotone
+    prefix array — 26 rounds of `capacity`-element gathers, no sort).
+    """
+    n_out = shape_out[0] * shape_out[1] * shape_out[2]
+    d = in_coords                                    # (V, 3)
+    so = jnp.asarray(shape_out, jnp.int32)
+    targets = []
+    for ix in range(2):
+        for iy in range(2):
+            for iz in range(2):
+                sel = jnp.asarray([ix, iy, iz], jnp.int32)[None, :]
+                even = (d % 2) == 0
+                cand = jnp.where(even, d // 2,
+                                 jnp.where(sel == 0, (d + 1) // 2,
+                                           (d - 1) // 2))
+                ok = in_mask & jnp.all((cand >= 0) & (cand < so), axis=-1)
+                key = (cand[:, 0] * shape_out[1] + cand[:, 1]) \
+                    * shape_out[2] + cand[:, 2]
+                targets.append(jnp.where(ok, key, n_out))
+    occ = jnp.zeros((n_out,), jnp.int32).at[
+        jnp.concatenate(targets)].set(1, mode='drop')
+    csum = jnp.cumsum(occ)
+    pos = jnp.searchsorted(csum, jnp.arange(1, capacity + 1,
+                                            dtype=csum.dtype), method='scan')
+    out_mask = pos < n_out
+    out_keys = jnp.where(out_mask, pos, n_out).astype(jnp.int32)
+    out_coords = jnp.where(out_mask[:, None],
+                           key_to_coords(out_keys, shape_out), 0)
+    return out_coords, out_keys, out_mask
+
+
+def stage_indices_table(sp: SparseVoxels, shape: Tuple[int, int, int],
+                        down_capacity: int | None = None):
+    """All neighbor maps for one encoder stage from ONE row table.
+
+    Returns (subm_nbr, strided) where strided is None when down_capacity is
+    None, else ((out_coords, out_keys, out_mask, strided_nbr), shape_out).
+    Built per-sample — under lax.map when the grid is large (so only one
+    transient table is alive at a time), vmap otherwise.
+    """
+    sx, sy, sz = shape
+    n_cells = sx * sy * sz
+    v_in = sp.keys.shape[1]
+    shape_out = out_shape_strided(shape) if down_capacity else None
+
+    def one(args):
+        coords, mask, keys = args
+        table = _row_table_one(keys, mask, n_cells)
+        subm = _index_from_table_one(table, coords, mask, shape, 1, v_in)
+        if down_capacity is None:
+            return subm
+        oc, okeys, om = _downsample_out_set_table_one(
+            coords, mask, shape_out, down_capacity)
+        snbr = _index_from_table_one(table, oc, om, shape, 2, v_in)
+        return subm, (oc, okeys, om, snbr)
+
+    args = (sp.coords, sp.mask, sp.keys)
+    if n_cells > _TABLE_VMAP_CELLS:
+        out = jax.lax.map(one, args)
+    else:
+        out = jax.vmap(one)(args)
+    if down_capacity is None:
+        return out, None
+    return out[0], (out[1], shape_out)
+
+
 def sparse_conv1x1_apply(feats: jnp.ndarray, mask: jnp.ndarray,
                          weight: jnp.ndarray,
                          bias: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -265,10 +413,11 @@ def sparse_to_dense(feats: jnp.ndarray, keys: jnp.ndarray,
     n = sx * sy * sz
 
     def one(f, k, m):
-        tgt = jnp.where(m, k, n)
-        dense = jnp.zeros((n + 1, C), feats.dtype)
-        dense = dense.at[tgt].set(
-            jnp.where(m[:, None], f, 0), mode='drop')
-        return dense[:n].reshape(sx, sy, sz, C)
+        tgt = jnp.where(m, k, n)   # invalid -> OOB, dropped; keys are
+        dense = jnp.zeros((n, C), feats.dtype)   # sorted + unique, so the
+        dense = dense.at[tgt].set(                # scatter vectorizes
+            jnp.where(m[:, None], f, 0), mode='drop',
+            unique_indices=True, indices_are_sorted=True)
+        return dense.reshape(sx, sy, sz, C)
 
     return jax.vmap(one)(feats, keys, mask)

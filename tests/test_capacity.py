@@ -48,3 +48,44 @@ def test_full_scale_capacities_hold_actives():
         assert n <= 0.9 * lc.voxel_capacity[i], (
             f'stage {i}: {n} actives vs capacity {lc.voxel_capacity[i]}')
         coords, mask, cur_shape = oc, om, shape_out
+
+
+def test_zfold_capacities_hold_candidate_supers():
+    """zfold_capacity must hold each stage's CANDIDATE super set (the
+    super-level dilation rule is a conservative superset — see
+    ops/zfold.py): measured 67260/72628/63083/24624 on the beam cloud."""
+    cfg = full_model_config()
+    lc = cfg.lidar
+    shape = lc.sparse_shape(cfg.grid)
+    b = synthetic_batch(cfg, batch_size=1, seed=0)
+
+    sp = jax.jit(functools.partial(
+        voxelize_mean, point_cloud_range=cfg.grid.point_cloud_range,
+        voxel_size=lc.voxel_size, shape=shape,
+        capacity=lc.voxel_capacity[0]))(
+        b.points.astype(jnp.float32), b.points_mask)
+
+    # super coords at stage 0
+    F = lc.zfold
+    keys = np.asarray(sp.keys[0][sp.mask[0]])
+    skeys = np.unique(keys // F)
+    n = len(skeys)
+    assert n <= 0.9 * lc.zfold_capacity[0], (n, lc.zfold_capacity[0])
+
+    sshape = (shape[0], shape[1], shape[2] // F)
+    sc = np.stack([skeys // (sshape[1] * sshape[2]),
+                   (skeys // sshape[2]) % sshape[1],
+                   skeys % sshape[2]], -1).astype(np.int32)
+    smask = np.ones((n,), bool)
+    cur_shape = sshape
+    coords, mask = jnp.asarray(sc), jnp.asarray(smask)
+    for i in range(1, len(lc.zfold_capacity)):
+        shape_out = out_shape_strided(cur_shape)
+        probe_cap = lc.zfold_capacity[0] * 2
+        oc, okeys, om = jax.jit(functools.partial(
+            _downsample_coords_one, shape_in=cur_shape,
+            shape_out=shape_out, capacity=probe_cap))(coords, mask)
+        nn_ = int(om.sum())
+        assert nn_ <= 0.9 * lc.zfold_capacity[i], (
+            f'stage {i}: {nn_} candidate supers vs {lc.zfold_capacity[i]}')
+        coords, mask, cur_shape = oc, om, shape_out

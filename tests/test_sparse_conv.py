@@ -131,3 +131,53 @@ def test_strided_conv_matches_dense():
         for o in expect_active[b]:
             np.testing.assert_allclose(got_dense[b][o], ref[b][o],
                                        rtol=1e-4, atol=1e-4)
+
+
+def test_table_indices_match_merge():
+    """stage_indices_table (dense row-id table, sort-free) must produce the
+    same subm neighbor map, derived strided output set, and strided neighbor
+    map as the merge-based builds."""
+    rng = np.random.RandomState(3)
+    shape, B, V = (12, 10, 8), 2, 96
+    sp = _random_sparse(rng, B, V, shape, 3, density_pts=120)
+
+    from fusionocc_tpu.ops.sparse_conv import stage_indices_table
+
+    nbr_ref = build_subm_index(sp, shape)
+    (ref_oc, ref_ok, ref_om, ref_snbr), shape_out = build_strided_index(
+        sp, shape, 160)
+
+    nbr_tab, ((oc, okeys, om, snbr), shape_out2) = stage_indices_table(
+        sp, shape, 160)
+    assert shape_out2 == shape_out
+    np.testing.assert_array_equal(np.asarray(nbr_tab), np.asarray(nbr_ref))
+    np.testing.assert_array_equal(np.asarray(om), np.asarray(ref_om))
+    np.testing.assert_array_equal(np.asarray(okeys), np.asarray(ref_ok))
+    np.testing.assert_array_equal(np.asarray(oc), np.asarray(ref_oc))
+    np.testing.assert_array_equal(np.asarray(snbr), np.asarray(ref_snbr))
+
+    # no-downsample flavor (final stage)
+    nbr_tab2, none = stage_indices_table(sp, shape, None)
+    assert none is None
+    np.testing.assert_array_equal(np.asarray(nbr_tab2), np.asarray(nbr_ref))
+
+
+def test_table_indices_lax_map_path():
+    """Large-grid branch (per-sample lax.map) matches vmap semantics."""
+    from fusionocc_tpu.ops import sparse_conv as sc_mod
+    rng = np.random.RandomState(5)
+    shape, B, V = (9, 7, 6), 2, 64
+    sp = _random_sparse(rng, B, V, shape, 3, density_pts=80)
+    nbr_ref = build_subm_index(sp, shape)
+    orig = sc_mod._TABLE_VMAP_CELLS
+    try:
+        sc_mod._TABLE_VMAP_CELLS = 1   # force the lax.map branch
+        nbr_tab, ((oc, okeys, om, snbr), _) = sc_mod.stage_indices_table(
+            sp, shape, 128)
+    finally:
+        sc_mod._TABLE_VMAP_CELLS = orig
+    np.testing.assert_array_equal(np.asarray(nbr_tab), np.asarray(nbr_ref))
+    (ref_oc, ref_ok, ref_om, ref_snbr), _ = build_strided_index(
+        sp, shape, 128)
+    np.testing.assert_array_equal(np.asarray(om), np.asarray(ref_om))
+    np.testing.assert_array_equal(np.asarray(snbr), np.asarray(ref_snbr))

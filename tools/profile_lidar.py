@@ -1,14 +1,19 @@
 """Micro-bisection of the LiDAR branch primitives on the real chip.
 
-Identifies where the ~1.5 s lidar-branch latency goes: voxelize sort,
-per-stage searchsorted neighbor-map builds, gather-GEMMs, densify.
+Identifies where the lidar-branch latency goes: voxelize sort, neighbor-map
+builds (sort-merge vs dense-row-table), gather-GEMMs, densify — plus the
+full encoder end-to-end under both index backends.
 Timing uses the sum-reduce barrier (see tools/profile_forward.py).
+
+Measured 2026-08-18 (v5e via tunnel, ~30 ms launch floor included in every
+row): merge subm build stage0 113.8 ms; row-gather conv 41.0 ms (B=4:
+174.7 — linear, volume-bound); block-gather conv 85.9 ms and OOMs the
+compile helper at B=4 (pred[B,V,9] temps pad 14.2x) — negative result.
 """
 from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -23,16 +28,22 @@ def main():
 
     from fusionocc_tpu.config import full_model_config
     from fusionocc_tpu.data.synthetic import synthetic_batch
+    from fusionocc_tpu.models.lidar_encoder import SparseEncoder
     from fusionocc_tpu.ops import sparse_conv as sc
     from fusionocc_tpu.ops.voxelize import SparseVoxels, voxelize_mean
 
     from fusionocc_tpu.utils.timing import best_call_seconds, scalar_barrier
 
     def timed(name, fn, *args, n=3):
-        out = fn(*args)
-        scalar_barrier(out)
+        try:
+            out = fn(*args)
+            scalar_barrier(out)
+        except Exception as e:
+            print(f'{name:44s} FAILED {type(e).__name__}: {str(e)[:200]}',
+                  flush=True)
+            return None
         dt = best_call_seconds(fn, *args, n=n, warm=False)
-        print(f'{name:38s} {dt * 1e3:9.1f} ms', flush=True)
+        print(f'{name:44s} {dt * 1e3:9.1f} ms', flush=True)
         return out
 
     cfg = full_model_config()
@@ -49,35 +60,54 @@ def main():
     sp = timed('voxelize_mean (sort+unique+segmean)', vox_fn,
                b.points, b.points_mask)
 
+    # --- index builds: merge vs table --------------------------------------
     subm_fn = jax.jit(lambda s: sc.build_subm_index(s, shape))
-    nbr = timed('build_subm_index stage0 (27xV srch)', subm_fn, sp)
+    nbr = timed('merge: build_subm_index stage0', subm_fn, sp)
 
+    stride_fn = jax.jit(lambda s: sc.build_strided_index(
+        s, shape, lcfg.voxel_capacity[1])[0])
+    timed('merge: build_strided_index stage0->1', stride_fn, sp)
+
+    tab_fn = jax.jit(lambda s: sc.stage_indices_table(
+        s, shape, lcfg.voxel_capacity[1])[0])
+    timed('table: stage0 subm+strided (all maps)', tab_fn, sp)
+    tab1_fn = jax.jit(lambda s: sc.stage_indices_table(s, shape, None)[0])
+    timed('table: stage0 subm only', tab1_fn, sp)
+
+    # --- conv applies --------------------------------------------------------
     cin, cout = 16, 16
-    key = jax.random.PRNGKey(0)
     f0 = jax.device_put(np.random.rand(
         1, lcfg.voxel_capacity[0], cin).astype(np.float32))
     w = jax.device_put(np.random.rand(27, cin, cout).astype(np.float32))
     conv_fn = jax.jit(lambda f, m, i, w: sc.sparse_conv_apply(f, m, i, w))
     timed('sparse_conv_apply stage0 (gatherGEMM)', conv_fn,
           f0, sp.mask, nbr, w)
-    convb_fn = jax.jit(
-        lambda f, m, i, w: sc.sparse_conv_apply_block(f, m, i, w))
-    timed('sparse_conv_apply_block stage0 (9x3row)', convb_fn,
-          f0, sp.mask, nbr, w)
-
-    # chunk-folded flavor (streaming runs the encoder at B=chunk): does the
-    # 3x descriptor cut still win once the gather is volume-bound?
     C = 4
     fc = jnp.broadcast_to(f0, (C,) + f0.shape[1:])
     mc = jnp.broadcast_to(sp.mask, (C,) + sp.mask.shape[1:])
     ic = jnp.broadcast_to(nbr, (C,) + nbr.shape[1:])
     timed(f'sparse_conv_apply stage0 B={C}', conv_fn, fc, mc, ic, w)
-    timed(f'sparse_conv_apply_block stage0 B={C}', convb_fn, fc, mc, ic, w)
 
-    stride_fn = jax.jit(lambda s: sc.build_strided_index(
-        s, shape, lcfg.voxel_capacity[1]))
-    timed('build_strided_index stage0->1', stride_fn,
-          SparseVoxels(f0, sp.coords, sp.keys, sp.mask))
+    # --- full encoder end-to-end: zfold vs coo(table) vs coo(merge) --------
+    import dataclasses
+    for backend, index in (('zfold', 'table'), ('coo', 'table'),
+                           ('coo', 'merge')):
+        lc = dataclasses.replace(lcfg, backend=backend, index=index)
+        enc = SparseEncoder(lc, cfg.grid, dtype=cfg.dtype)
+        var = jax.jit(lambda p, m, e=enc: e.init(
+            jax.random.PRNGKey(0), p, m, train=False))(
+            b.points, b.points_mask)
+        enc_fn = jax.jit(lambda v, p, m, e=enc: e.apply(v, p, m,
+                                                        train=False))
+        label = backend if backend == 'zfold' else f'{backend}/{index}'
+        timed(f'encoder end-to-end [{label}]', enc_fn,
+              var, b.points, b.points_mask)
+        # chunk-folded: streaming time-fold runs the encoder at B=chunk
+        if backend == 'zfold':
+            pc = jnp.broadcast_to(b.points, (4,) + b.points.shape[1:])
+            mc2 = jnp.broadcast_to(b.points_mask,
+                                   (4,) + b.points_mask.shape[1:])
+            timed('encoder end-to-end [zfold] B=4', enc_fn, var, pc, mc2)
 
     final_shape = tuple(s // 8 for s in shape[:2]) + (shape[2] // 8,)
     v3 = lcfg.voxel_capacity[3]
