@@ -104,6 +104,52 @@ def main():
     np.asarray(run_scan(None))
     dt_scan = burst_best_mean(run_scan, [None], iters=4) / SCAN_T
 
+    # --- single-frame streaming latency mode ------------------------------
+    @jax.jit
+    def one_step(v, b, s, pi):
+        pred, _, ns = model.apply(v, b, s, pool_idx=pi,
+                                  method=FusionOcc.predict_streaming)
+        return pred, ns
+
+    s1 = [state0]
+
+    def run_one(b):
+        pred, s1[0] = one_step(variables, b, s1[0], pool_idx)
+        return pred
+
+    dt_one = None
+    try:
+        np.asarray(run_one(b0))
+        np.asarray(run_one(batches[1]))
+        dt_one = burst_best_mean(run_one, batches)
+    except Exception as e:
+        print(f'# single-frame mode failed: {type(e).__name__}: '
+              f'{str(e)[:300]}', flush=True)
+
+    # --- conventional two-pass forward (reference eval semantics) ---------
+    # batch_frames folds both temporal frames into ONE camera-branch
+    # invocation (equivalent outputs, tested; better MXU occupancy), with
+    # the rank sort precomputed on the (B*F)-folded geometry
+    @jax.jit
+    def two_step(v, b, pi):
+        return model.apply(v, b, batch_frames=True, pool_idx_folded=pi,
+                           method=FusionOcc.predict)
+
+    dt_two = None
+    try:
+        pool_two = trim_pooling_index(jax.block_until_ready(jax.jit(
+            lambda bb: batched_frames_pooling_index(cfg, bb))(b0)))
+
+        def run_two(b):
+            return two_step(variables, b, pool_two)
+
+        np.asarray(run_two(b0))
+        np.asarray(run_two(batches[1]))
+        dt_two = burst_best_mean(run_two, batches)
+    except Exception as e:
+        print(f'# two-pass mode failed: {type(e).__name__}: '
+              f'{str(e)[:300]}', flush=True)
+
     # --- time-folded streaming (chunk frames batched per block) -----------
     # Measured on-chip the sort-based index builds are latency-bound (B=8
     # costs ~B=1), so folding the clip's frames into the batch axis
@@ -151,42 +197,6 @@ def main():
             print(f'# batched chunk={chunk}:{cam_chunk} failed: '
                   f'{type(e).__name__}: {str(e)[:300]}', flush=True)
 
-    # --- single-frame streaming latency mode ------------------------------
-    @jax.jit
-    def one_step(v, b, s, pi):
-        pred, _, ns = model.apply(v, b, s, pool_idx=pi,
-                                  method=FusionOcc.predict_streaming)
-        return pred, ns
-
-    s1 = [state0]
-
-    def run_one(b):
-        pred, s1[0] = one_step(variables, b, s1[0], pool_idx)
-        return pred
-
-    np.asarray(run_one(b0))
-    np.asarray(run_one(batches[1]))
-    dt_one = burst_best_mean(run_one, batches)
-
-    # --- conventional two-pass forward (reference eval semantics) ---------
-    # batch_frames folds both temporal frames into ONE camera-branch
-    # invocation (equivalent outputs, tested; better MXU occupancy), with
-    # the rank sort precomputed on the (B*F)-folded geometry
-    pool_two = trim_pooling_index(jax.block_until_ready(jax.jit(
-        lambda bb: batched_frames_pooling_index(cfg, bb))(b0)))
-
-    @jax.jit
-    def two_step(v, b, pi):
-        return model.apply(v, b, batch_frames=True, pool_idx_folded=pi,
-                           method=FusionOcc.predict)
-
-    def run_two(b):
-        return two_step(variables, b, pool_two)
-
-    np.asarray(run_two(b0))
-    np.asarray(run_two(batches[1]))
-    dt_two = burst_best_mean(run_two, batches)
-
     # --- MFU from the TPU executable's own cost analysis ------------------
     mfu = flops_per_frame = None
     try:
@@ -213,11 +223,13 @@ def main():
         'vs_baseline': round(fps / A100_REFERENCE_FPS, 3),
         'streaming_mode': mode,
         'streaming_clip_ms_per_frame': round(dt_scan * 1000, 1),
-        'streaming_single_ms': round(dt_one * 1000, 1),
-        'streaming_single_fps': round(1.0 / dt_one, 3),
-        'twopass_ms': round(dt_two * 1000, 1),
-        'twopass_fps': round(1.0 / dt_two, 3),
     }
+    if dt_one is not None:
+        out['streaming_single_ms'] = round(dt_one * 1000, 1)
+        out['streaming_single_fps'] = round(1.0 / dt_one, 3)
+    if dt_two is not None:
+        out['twopass_ms'] = round(dt_two * 1000, 1)
+        out['twopass_fps'] = round(1.0 / dt_two, 3)
     for c, dt in dt_batched.items():
         out[f'batched_chunk{c}_ms_per_frame'] = round(dt * 1000, 1)
     if mfu is not None:

@@ -149,6 +149,11 @@ class SparseEncoderConfig:
     # stage2's 63k vs 34k true) — pinned by tests/test_capacity.py.
     zfold: int = 8
     zfold_capacity: Tuple[int, ...] = (81920, 86016, 73728, 32768)
+    # Gather-temp bound for the lifted zfold convs: 27 taps one-shot
+    # materializes (B, S, 27*F*C) — GBs at F*C=512 — and OOMs the chip once
+    # the camera branch shares the program; tap_chunk=9 scans 3 groups of 9
+    # taps with a bounded temp (ops/sparse_conv.py sparse_conv_apply).
+    tap_chunk: int = 9
 
     def sparse_shape(self, grid: GridConfig) -> Tuple[int, int, int]:
         pcr = grid.point_cloud_range

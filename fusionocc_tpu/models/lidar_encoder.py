@@ -55,6 +55,7 @@ class SubMConvBN(nn.Module):
     tile: bool = False
     fold: int = 0          # >0: zfold super rows (ops/zfold.py)
     gather: str = 'row'
+    tap_chunk: int = 0     # bound gather temps (ops/sparse_conv.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -74,7 +75,8 @@ class SubMConvBN(nn.Module):
             y = tile_subm_conv(feats, mask, nbr_idx, w)
         elif self.fold:
             w_e = expand_weight(w, self.fold, self.fold, 1)
-            y = sparse_conv_apply(feats, mask, nbr_idx, w_e)
+            y = sparse_conv_apply(feats, mask, nbr_idx, w_e,
+                                  tap_chunk=self.tap_chunk)
         elif self.gather == 'block':
             y = sparse_conv_apply_block(feats, mask, nbr_idx, w)
         else:
@@ -102,6 +104,7 @@ class SparseConvBNStride2(nn.Module):
     fold_in: int = 0       # >0: zfold super rows (ops/zfold.py)
     fold_out: int = 0
     gather: str = 'row'
+    tap_chunk: int = 0     # bound gather temps (ops/sparse_conv.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -119,7 +122,8 @@ class SparseConvBNStride2(nn.Module):
             y = tile_strided_apply(feats, nbr_idx, w)
         elif self.fold_in:
             w_e = expand_weight(w, self.fold_in, self.fold_out, 2)
-            y = sparse_conv_apply(feats, out_mask, nbr_idx, w_e)
+            y = sparse_conv_apply(feats, out_mask, nbr_idx, w_e,
+                                  tap_chunk=self.tap_chunk)
         elif self.gather == 'block':
             y = sparse_conv_apply_block(feats, out_mask, nbr_idx, w)
         else:
@@ -226,6 +230,7 @@ class SparseEncoder(nn.Module):
             f = zf.feats
             for j in range(n_subm):
                 f = SubMConvBN(blocks[j], fold=zf.fold, dtype=self.dtype,
+                               tap_chunk=cfg.tap_chunk,
                                name=f'stage{i}_subm{j}')(
                     f, zf.mask, nbr, train=train, lane_mask=zf.lane_mask)
             if not last:
@@ -236,6 +241,7 @@ class SparseEncoder(nn.Module):
                                              zf.fold, f_out)
                 f = SparseConvBNStride2(blocks[-1], fold_in=zf.fold,
                                         fold_out=f_out, dtype=self.dtype,
+                                        tap_chunk=cfg.tap_chunk,
                                         name=f'stage{i}_down')(
                     f, om, snbr, train=train, out_lane_mask=out_lane)
                 oc2 = jnp.where(om[..., None], oc, 0)

@@ -159,12 +159,20 @@ def build_strided_index(sp: SparseVoxels, shape_in: Tuple[int, int, int],
 
 def sparse_conv_apply(feats: jnp.ndarray, mask_out: jnp.ndarray,
                       nbr_idx: jnp.ndarray, weight: jnp.ndarray,
-                      bias: jnp.ndarray | None = None) -> jnp.ndarray:
+                      bias: jnp.ndarray | None = None,
+                      tap_chunk: int = 0) -> jnp.ndarray:
     """Gather-GEMM: out[v] = sum_k feats[nbr[v,k]] @ W[k]  (+ bias).
 
     Args:
       feats: (B, V_in, Cin); nbr_idx: (B, V_out, 27) with miss -> V_in.
       weight: (27, Cin, Cout).
+      tap_chunk: 0 gathers all 27 taps into one (B, V, 27*Cin) temp before
+        a single GEMM — fastest when it fits, but at z-folded lane widths
+        (ops/zfold.py, Cin up to 512) that temp is GBs and OOMs the chip
+        once the camera branch shares the program.  1/3/9 accumulates over
+        27//tap_chunk groups under lax.scan, bounding live temps at
+        (B, V, tap_chunk*Cin) (+ one fp32 accumulator); HBM gather traffic
+        is identical.
     Returns (B, V_out, Cout), zeroed at invalid outputs.
     """
     B, v_in, cin = feats.shape
@@ -172,13 +180,34 @@ def sparse_conv_apply(feats: jnp.ndarray, mask_out: jnp.ndarray,
     cout = weight.shape[-1]
     pad = jnp.concatenate(
         [feats, jnp.zeros((B, 1, cin), feats.dtype)], axis=1)
-    gathered = jnp.take_along_axis(
-        pad.reshape(B, v_in + 1, cin),
-        nbr_idx.reshape(B, v_out * 27, 1), axis=1)
-    gathered = gathered.reshape(B, v_out, 27 * cin)
-    w = weight.astype(feats.dtype).reshape(27 * cin, cout)
-    out = jnp.einsum('bvk,kc->bvc', gathered, w,
-                     preferred_element_type=jnp.float32).astype(feats.dtype)
+    if tap_chunk and tap_chunk < 27:
+        assert 27 % tap_chunk == 0, tap_chunk
+        g = 27 // tap_chunk
+        nbr_g = jnp.moveaxis(
+            nbr_idx.reshape(B, v_out, g, tap_chunk), 2, 0)   # (g, B, V, tc)
+        w_g = weight.astype(feats.dtype).reshape(g, tap_chunk * cin, cout)
+
+        def body(acc, xs):
+            nb, wk = xs
+            gat = jnp.take_along_axis(
+                pad, nb.reshape(B, v_out * tap_chunk, 1), axis=1)
+            gat = gat.reshape(B, v_out, tap_chunk * cin)
+            return acc + jnp.einsum(
+                'bvk,kc->bvc', gat, wk,
+                preferred_element_type=jnp.float32), None
+
+        acc0 = jnp.zeros((B, v_out, cout), jnp.float32)
+        out, _ = jax.lax.scan(body, acc0, (nbr_g, w_g))
+        out = out.astype(feats.dtype)
+    else:
+        gathered = jnp.take_along_axis(
+            pad.reshape(B, v_in + 1, cin),
+            nbr_idx.reshape(B, v_out * 27, 1), axis=1)
+        gathered = gathered.reshape(B, v_out, 27 * cin)
+        w = weight.astype(feats.dtype).reshape(27 * cin, cout)
+        out = jnp.einsum('bvk,kc->bvc', gathered, w,
+                         preferred_element_type=jnp.float32
+                         ).astype(feats.dtype)
     if bias is not None:
         out = out + bias.astype(feats.dtype)
     return jnp.where(mask_out[..., None], out, 0)
@@ -363,6 +392,7 @@ def stage_indices_table(sp: SparseVoxels, shape: Tuple[int, int, int],
     sx, sy, sz = shape
     n_cells = sx * sy * sz
     v_in = sp.keys.shape[1]
+    batch = sp.keys.shape[0]
     shape_out = out_shape_strided(shape) if down_capacity else None
 
     def one(args):
@@ -377,7 +407,10 @@ def stage_indices_table(sp: SparseVoxels, shape: Tuple[int, int, int],
         return subm, (oc, okeys, om, snbr)
 
     args = (sp.coords, sp.mask, sp.keys)
-    if n_cells > _TABLE_VMAP_CELLS:
+    # vmap materializes BATCH tables at once — the memory/bandwidth budget
+    # is batch * n_cells, not n_cells (time-folded streaming runs the
+    # encoder at B=chunk)
+    if batch * n_cells > _TABLE_VMAP_CELLS:
         out = jax.lax.map(one, args)
     else:
         out = jax.vmap(one)(args)

@@ -181,3 +181,19 @@ def test_table_indices_lax_map_path():
         sp, shape, 128)
     np.testing.assert_array_equal(np.asarray(om), np.asarray(ref_om))
     np.testing.assert_array_equal(np.asarray(snbr), np.asarray(ref_snbr))
+
+
+def test_tap_chunked_apply_matches_oneshot():
+    """tap_chunk=1/3/9 (scanned bounded-temp groups) == one-shot GEMM."""
+    from fusionocc_tpu.ops.sparse_conv import sparse_conv_apply
+    rng = np.random.RandomState(11)
+    shape, B, V, cin, cout = (6, 5, 8), 2, 48, 4, 5
+    sp = _random_sparse(rng, B, V, shape, cin)
+    nbr = build_subm_index(sp, shape)
+    w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32))
+    bias = jnp.asarray(rng.randn(cout).astype(np.float32))
+    ref = np.asarray(sparse_conv_apply(sp.feats, sp.mask, nbr, w, bias))
+    for tc in (1, 3, 9, 27):
+        got = np.asarray(sparse_conv_apply(sp.feats, sp.mask, nbr, w, bias,
+                                           tap_chunk=tc))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)

@@ -88,6 +88,40 @@ def main():
     ic = jnp.broadcast_to(nbr, (C,) + nbr.shape[1:])
     timed(f'sparse_conv_apply stage0 B={C}', conv_fn, fc, mc, ic, w)
 
+    # --- zfold-internal bisection ------------------------------------------
+    # where the zfold encoder's time goes: regroup, per-stage table builds,
+    # per-stage lifted conv applies (random neighbor maps are
+    # gather-representative)
+    from fusionocc_tpu.ops import zfold as zf
+    fold = min(lcfg.zfold, shape[2])
+    reg_fn = jax.jit(lambda s: zf.zfold_regroup(
+        s, shape, lcfg.zfold_capacity[0], fold))
+    zv = timed('zfold: regroup', reg_fn, sp)
+    if zv is not None:
+        sshape = zf.super_shape(shape, fold)
+        ztab_fn = jax.jit(lambda z: sc.stage_indices_table(
+            zf.as_sparse(z), sshape, lcfg.zfold_capacity[1])[0])
+        timed('zfold: table stage0 (subm+strided)', ztab_fn, zv)
+        ztab1_fn = jax.jit(lambda z: sc.stage_indices_table(
+            zf.as_sparse(z), sshape, None)[0])
+        timed('zfold: table stage0 (subm only)', ztab1_fn, zv)
+        rng = np.random.RandomState(0)
+        sz_s = shape[2]
+        for si, ch in enumerate(lcfg.encoder_channels):
+            c_s = ch[0]
+            f_s = min(lcfg.zfold, sz_s)
+            S = lcfg.zfold_capacity[si]
+            fz = jax.device_put(rng.rand(1, S, f_s * c_s).astype(np.float32))
+            wz = jax.device_put(np.asarray(zf.expand_weight(
+                jnp.asarray(rng.rand(27, c_s, c_s).astype(np.float32)),
+                f_s, f_s, 1)))
+            nbrz = jax.device_put(
+                rng.randint(0, S, size=(1, S, 27)).astype(np.int32))
+            mz = jax.device_put(np.ones((1, S), bool))
+            timed(f'zfold: subm conv stage{si} (S={S}, {f_s}x{c_s})',
+                  conv_fn, fz, mz, nbrz, wz)
+            sz_s //= 2
+
     # --- full encoder end-to-end: zfold vs coo(table) vs coo(merge) --------
     import dataclasses
     for backend, index in (('zfold', 'table'), ('coo', 'table'),
