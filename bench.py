@@ -100,9 +100,14 @@ def main():
         preds, st[0] = scan_step(variables, stacked, st[0], resets, pool_idx)
         return preds
 
-    np.asarray(run_scan(None))
-    np.asarray(run_scan(None))
-    dt_scan = burst_best_mean(run_scan, [None], iters=4) / SCAN_T
+    dt_scan = None
+    try:
+        np.asarray(run_scan(None))
+        np.asarray(run_scan(None))
+        dt_scan = burst_best_mean(run_scan, [None], iters=4) / SCAN_T
+    except Exception as e:
+        print(f'# scan mode failed: {type(e).__name__}: {str(e)[:300]}',
+              flush=True)
 
     # --- single-frame streaming latency mode ------------------------------
     @jax.jit
@@ -207,10 +212,20 @@ def main():
     except Exception:
         pass
 
-    # headline = best streaming deployment mode (scan vs time-folded)
-    candidates = {'scan': dt_scan}
+    # headline = best streaming deployment mode (scan vs time-folded);
+    # fall back to single-frame streaming, then two-pass, so a JSON line
+    # always prints even if the big scan program cannot run
+    candidates = {}
+    if dt_scan is not None:
+        candidates['scan'] = dt_scan
     for c, dt in dt_batched.items():
         candidates[f'batched_chunk{c}'] = dt
+    if not candidates and dt_one is not None:
+        candidates['single'] = dt_one
+    if not candidates and dt_two is not None:
+        candidates['twopass'] = dt_two
+    if not candidates:
+        raise SystemExit('all bench modes failed')
     mode = min(candidates, key=candidates.get)
     dt_best = candidates[mode]
     fps = 1.0 / dt_best
@@ -222,8 +237,9 @@ def main():
         'unit': 'frames/sec',
         'vs_baseline': round(fps / A100_REFERENCE_FPS, 3),
         'streaming_mode': mode,
-        'streaming_clip_ms_per_frame': round(dt_scan * 1000, 1),
     }
+    if dt_scan is not None:
+        out['streaming_clip_ms_per_frame'] = round(dt_scan * 1000, 1)
     if dt_one is not None:
         out['streaming_single_ms'] = round(dt_one * 1000, 1)
         out['streaming_single_fps'] = round(1.0 / dt_one, 3)

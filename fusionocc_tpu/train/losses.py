@@ -56,18 +56,47 @@ def seg_loss(seg_logits: jnp.ndarray, segs: jnp.ndarray,
     return jnp.sum(nll) / jnp.maximum(1.0, jnp.sum(valid))
 
 
+_OCC_LOSS_CHUNK = 40000
+
+
 def occ_loss(logits: jnp.ndarray, voxel_semantics: jnp.ndarray,
              mask_camera: jnp.ndarray | None, use_mask: bool) -> jnp.ndarray:
-    """Masked cross-entropy, sum / mask count (fusion_occ.py:843-875)."""
+    """Masked cross-entropy, sum / mask count (fusion_occ.py:843-875).
+
+    Memory note: a [B*640k, nc] fp32 softmax temp pads nc=18 lanes to 128
+    (7.1x, ~312 MB fwd + again in the vjp) and was a top HBM allocation of
+    the full-size train step.  The row axis is chunked under lax.map with
+    per-chunk remat so live fp32 temps stay ~20 MB; the cast to fp32
+    happens inside the chunk so the assembled cotangent is bf16.
+    """
     nc = logits.shape[-1]
-    flat_logits = logits.astype(jnp.float32).reshape(-1, nc)
+    flat_logits = logits.reshape(-1, nc)
     flat_label = voxel_semantics.reshape(-1).astype(jnp.int32)
-    logp = jax.nn.log_softmax(flat_logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, flat_label[:, None], axis=1)[:, 0]
     if use_mask and mask_camera is not None:
         w = mask_camera.reshape(-1).astype(jnp.float32)
-        return jnp.sum(nll * w) / jnp.maximum(1.0, jnp.sum(w))
-    return jnp.mean(nll)
+    else:
+        w = jnp.ones((flat_logits.shape[0],), jnp.float32)
+
+    def chunk_sums(args):
+        lg, lb, ww = args
+        logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, lb[:, None], axis=1)[:, 0]
+        return jnp.sum(nll * ww), jnp.sum(ww)
+
+    n = flat_logits.shape[0]
+    if n >= 2 * _OCC_LOSS_CHUNK and n % _OCC_LOSS_CHUNK == 0:
+        c = n // _OCC_LOSS_CHUNK
+        sums, counts = jax.lax.map(
+            jax.checkpoint(chunk_sums),
+            (flat_logits.reshape(c, _OCC_LOSS_CHUNK, nc),
+             flat_label.reshape(c, _OCC_LOSS_CHUNK),
+             w.reshape(c, _OCC_LOSS_CHUNK)))
+        tot, cnt = jnp.sum(sums), jnp.sum(counts)
+    else:
+        tot, cnt = chunk_sums((flat_logits, flat_label, w))
+    if use_mask and mask_camera is not None:
+        return tot / jnp.maximum(1.0, cnt)
+    return tot / n
 
 
 def total_loss(outputs: Dict, batch, cfg: ModelConfig

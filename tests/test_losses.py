@@ -3,6 +3,7 @@ fusion_view_transformer.py:189-224 depth BCE + seg CE;
 fusion_occ.py:843-875 masked occupancy CE) and LR schedule boundaries."""
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import torch
@@ -108,6 +109,38 @@ def test_occ_loss_matches_torch():
     per = F.cross_entropy(lg, lb, reduction='none')
     ref = float((per * w).sum() / w.sum())
     assert abs(got - ref) < 1e-5, (got, ref)
+
+
+def test_occ_loss_chunked_matches_direct():
+    # 80000 rows triggers the lax.map chunked path (2x _OCC_LOSS_CHUNK);
+    # value and gradient must match the direct fp32 computation
+    from fusionocc_tpu.train import losses as L
+    rng = np.random.RandomState(7)
+    n = 2 * L._OCC_LOSS_CHUNK
+    logits = rng.randn(n, 18).astype(np.float32)
+    sem = rng.randint(0, 18, (n,)).astype(np.int32)
+    mask = rng.rand(n) > 0.4
+
+    def direct(lg):
+        logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, jnp.asarray(sem)[:, None],
+                                   axis=1)[:, 0]
+        w = jnp.asarray(mask).astype(jnp.float32)
+        return jnp.sum(nll * w) / jnp.maximum(1.0, jnp.sum(w))
+
+    lg = jnp.asarray(logits)
+    got, ref = occ_loss(lg, jnp.asarray(sem), jnp.asarray(mask), True), \
+        direct(lg)
+    assert abs(float(got) - float(ref)) < 1e-6, (got, ref)
+    g_got = jax.grad(lambda x: occ_loss(x, jnp.asarray(sem),
+                                        jnp.asarray(mask), True))(lg)
+    g_ref = jax.grad(direct)(lg)
+    assert float(jnp.max(jnp.abs(g_got - g_ref))) < 1e-7
+    # unmasked path (mean over all rows)
+    got_u = occ_loss(lg, jnp.asarray(sem), None, False)
+    ref_u = float(np.mean(np.asarray(
+        -jax.nn.log_softmax(lg, -1)[jnp.arange(n), jnp.asarray(sem)])))
+    assert abs(float(got_u) - ref_u) < 1e-6
 
 
 def test_lr_schedule_boundaries():
