@@ -205,6 +205,10 @@ class ModelConfig:
     # numeric policy
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # remat the BEV trunk (backbone+neck) in the train step: its jvp
+    # residuals were ~1.4 GB of the full-size step's HBM (inference
+    # programs are unaffected — the plain branch traces when train=False)
+    remat_bev: bool = True
 
     @property
     def num_frame(self) -> int:

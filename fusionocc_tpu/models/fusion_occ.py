@@ -299,8 +299,18 @@ class FusionOcc(nn.Module):
         # BEV spatial parallelism: grid Y axis over 'spatial' (halo
         # exchanges inserted by XLA for the 3D convs)
         fusion = self._constrain(fusion, 'data', None, 'spatial')
-        feats = self.bev_backbone(fusion, train=train)
-        x = self.bev_neck(feats, train=train)           # (B, Z, Y, X, C)
+        if train and cfg.remat_bev:
+            # one remat boundary over the BEV trunk: its jvp residuals
+            # (neck concat + ConvBN pre-activations, ~1.4 GB at full size)
+            # were top HBM allocations of the train step; recomputing the
+            # trunk in the bwd pass costs little (BEV flops << camera).
+            # Inference traces the plain branch — HLO unchanged.
+            def _bev_trunk(m, f):
+                return m.bev_neck(m.bev_backbone(f, train=True), train=True)
+            x = nn.remat(_bev_trunk)(self, fusion)      # (B, Z, Y, X, C)
+        else:
+            feats = self.bev_backbone(fusion, train=train)
+            x = self.bev_neck(feats, train=train)       # (B, Z, Y, X, C)
         x = nn.relu(self.final_conv(x))
         x = jnp.transpose(x, (0, 3, 2, 1, 4))           # (B, X, Y, Z, C)
         h = nn.softplus(self.predicter_fc1(x))
