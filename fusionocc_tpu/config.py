@@ -205,10 +205,13 @@ class ModelConfig:
     # numeric policy
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
-    # remat the BEV trunk (backbone+neck) in the train step: its jvp
-    # residuals were ~1.4 GB of the full-size step's HBM (inference
-    # programs are unaffected — the plain branch traces when train=False)
-    remat_bev: bool = True
+    # remat the BEV trunk (backbone+neck) in the train step. Measured
+    # NEGATIVE at full size on v5e (BENCH.md round 3): the coarse remat
+    # boundary makes the trunk's backward one unschedulable block whose
+    # recompute + transpose temps peak HIGHER (17.99G) than storing the
+    # jvp residuals (17.48G). Off by default; inference programs are
+    # unaffected either way (the plain branch traces when train=False).
+    remat_bev: bool = False
 
     @property
     def num_frame(self) -> int:
