@@ -75,11 +75,12 @@ class SwinConfig:
     # mode off-TPU, so the flag is safe everywhere.
     fused_attn: bool = True
     # Only fuse stages with <= this many heads.  The kernel body unrolls
-    # one matmul pair per head, so Mosaic compile time grows with the head
-    # count, while the HBM payoff shrinks with resolution: the late (16/32
-    # head) stages have few windows and tiny score tensors.  8 fuses the
-    # two high-resolution stages that carry ~80% of the attention traffic.
-    fused_attn_max_heads: int = 8
+    # one matmul pair per head; the head-blocked grid (4-head groups per
+    # Pallas step) keeps Mosaic compile time flat, and the round-3 on-chip
+    # A/B (results/onchip_20260818_155235/profile_camera.log) measured
+    # fused faster at EVERY stage — stage2 shifted blocks 33.3 -> 28.3 ms
+    # (x9 blocks/pass), stage3 27.6 -> 26.2 — so all stages fuse now.
+    fused_attn_max_heads: int = 32
     # int8 serving: route the transformer's Dense layers (qkv/proj/mlp/
     # patch-merge) through dynamic int8 MXU matmuls (quant.int8_dot_general)
     # — the analog of the reference's TRT INT8 engines (tools/test.py

@@ -52,6 +52,22 @@ def test_fused_matches_reference(shift, nWh, nWw, b):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize('heads', [4, 8, 16, 32])
+def test_fused_matches_reference_many_heads(heads):
+    """The head-blocked grid (4-head groups per Pallas step) must match the
+    reference at the late Swin stages' head counts (16/32), which the
+    full-model config now fuses (fused_attn_max_heads=32)."""
+    w, c, shift, nWh, nWw, b = 4, 4 * heads, 2, 2, 3, 1
+    n = w * w
+    q, k, v = _rand(jax.random.PRNGKey(heads), b, nWh, nWw, w, c)
+    bias = jax.random.normal(jax.random.PRNGKey(6), (heads, n, n),
+                             jnp.float32)
+    got = fused_window_attention(q, k, v, bias, nWh, nWw, w, shift, heads)
+    want = _reference_out(q, k, v, bias, nWh, nWw, w, shift, heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_inkernel_mask_matches_mmcv_construction():
     """The iota-built masks equal the mmcv img_mask/window_partition ones."""
     from fusionocc_tpu.nn.swin import window_partition
