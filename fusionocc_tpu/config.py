@@ -155,6 +155,31 @@ class SparseEncoderConfig:
     # the camera branch shares the program; tap_chunk=9 scans 3 groups of 9
     # taps with a bounded temp (ops/sparse_conv.py sparse_conv_apply).
     tap_chunk: int = 9
+    # zfold conv formulation (ops/zfold.py), on-chip A/B 2026-08-19
+    # (results/onchip_r3c, full-size encoder end-to-end):
+    #   'zband'  333 ms — lifted weight sliced to its nonzero z-bands:
+    #            9 full-width + 18 Cin-wide taps, one GEMM per z-shift
+    #            (3x less gather traffic, ~F/3 x fewer MACs); DEFAULT.
+    #   'lifted' 412 ms — dense (27, F*Cin, F*Cout) super kernel (F x the
+    #            true MACs; the z-banded zeros ride the MXU anyway).
+    #   'zslice' 514-536 ms — per-tap window slices at exact cell FLOPs,
+    #            but the slices triple the window traffic and the
+    #            (.., Cout) GEMMs waste the 128-lane tile; negative result.
+    zconv: str = 'zband'
+    # kernel columns per zslice scan step (divisor of 9): bounds live
+    # window temps at col_chunk * (B, S, 3*F*Cin)
+    col_chunk: int = 3
+    # Profiling support: truncate the encoder after a named phase and
+    # return the live intermediate ('vox', 'input', 'regroup', 'table0'..,
+    # 'stage0'.., 'conv_out'); '' runs the full encoder.  Used by
+    # tools/profile_lidar.py for the on-chip stage bisection.
+    stop_after: str = ''
+    # Training memory: jax.checkpoint each zfold conv apply so the
+    # backward recomputes the 27-tap gather instead of holding the
+    # (B, S, taps*F*Cin) gather temp as a jvp residual — the largest
+    # per-conv residual class in the full-size train step (BENCH.md
+    # round 3 OOM analysis).
+    remat_conv: bool = False
 
     def sparse_shape(self, grid: GridConfig) -> Tuple[int, int, int]:
         pcr = grid.point_cloud_range

@@ -31,7 +31,8 @@ from ..ops.sparse_conv import (build_strided_index, build_subm_index,
                                sparse_to_dense, stage_indices_table)
 from ..ops.zfold import (ZFoldVoxels, as_sparse, expand_lane_mask,
                          expand_weight, strided_lane_mask, super_shape,
-                         zfold_regroup, zfold_to_dense)
+                         zband_conv_apply, zfold_regroup, zfold_to_dense,
+                         zslice_conv_apply)
 from ..ops.tile_sparse import (TileVoxels, neighbor_slots, tile_conv1x1,
                                tile_grid, tile_strided_apply,
                                tile_strided_prepare, tile_subm_conv,
@@ -56,11 +57,15 @@ class SubMConvBN(nn.Module):
     fold: int = 0          # >0: zfold super rows (ops/zfold.py)
     gather: str = 'row'
     tap_chunk: int = 0     # bound gather temps (ops/sparse_conv.py)
+    zconv: str = 'lifted'  # zfold formulation (ops/zfold.py)
+    col_chunk: int = 3
+    remat: bool = False    # recompute gathers in backward (config.remat_conv)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats, mask, nbr_idx, train: bool = False,
                  lane_mask=None):
+        maybe_ckpt = jax.checkpoint if self.remat else (lambda f: f)
         # z-folded feats carry ts*C / fold*C lanes; the param stays
         # (27, C, Cout) — backend-interchangeable checkpoints
         if self.tile:
@@ -73,10 +78,19 @@ class SubMConvBN(nn.Module):
                        (27, cin, self.features), jnp.float32)
         if self.tile:
             y = tile_subm_conv(feats, mask, nbr_idx, w)
+        elif self.fold and self.zconv == 'zslice':
+            y = maybe_ckpt(lambda f, m, n, k: zslice_conv_apply(
+                f, m, n, k, self.fold, self.fold, 1,
+                col_chunk=self.col_chunk))(feats, mask, nbr_idx, w)
+        elif self.fold and self.zconv == 'zband':
+            y = maybe_ckpt(lambda f, m, n, k: zband_conv_apply(
+                f, m, n, k, self.fold, self.fold, 1))(
+                feats, mask, nbr_idx, w)
         elif self.fold:
             w_e = expand_weight(w, self.fold, self.fold, 1)
-            y = sparse_conv_apply(feats, mask, nbr_idx, w_e,
-                                  tap_chunk=self.tap_chunk)
+            y = maybe_ckpt(lambda f, m, n, k: sparse_conv_apply(
+                f, m, n, k, tap_chunk=self.tap_chunk))(
+                feats, mask, nbr_idx, w_e)
         elif self.gather == 'block':
             y = sparse_conv_apply_block(feats, mask, nbr_idx, w)
         else:
@@ -105,11 +119,15 @@ class SparseConvBNStride2(nn.Module):
     fold_out: int = 0
     gather: str = 'row'
     tap_chunk: int = 0     # bound gather temps (ops/sparse_conv.py)
+    zconv: str = 'lifted'  # zfold formulation (ops/zfold.py)
+    col_chunk: int = 3
+    remat: bool = False    # recompute gathers in backward (config.remat_conv)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats, out_mask, nbr_idx, train: bool = False,
                  out_lane_mask=None):
+        maybe_ckpt = jax.checkpoint if self.remat else (lambda f: f)
         if self.tile:
             cin = feats.shape[-1] // feats.shape[-2]
         elif self.fold_in:
@@ -120,10 +138,19 @@ class SparseConvBNStride2(nn.Module):
                        (27, cin, self.features), jnp.float32)
         if self.tile:
             y = tile_strided_apply(feats, nbr_idx, w)
+        elif self.fold_in and self.zconv == 'zslice':
+            y = maybe_ckpt(lambda f, m, n, k: zslice_conv_apply(
+                f, m, n, k, self.fold_in, self.fold_out, 2,
+                col_chunk=self.col_chunk))(feats, out_mask, nbr_idx, w)
+        elif self.fold_in and self.zconv == 'zband':
+            y = maybe_ckpt(lambda f, m, n, k: zband_conv_apply(
+                f, m, n, k, self.fold_in, self.fold_out, 2))(
+                feats, out_mask, nbr_idx, w)
         elif self.fold_in:
             w_e = expand_weight(w, self.fold_in, self.fold_out, 2)
-            y = sparse_conv_apply(feats, out_mask, nbr_idx, w_e,
-                                  tap_chunk=self.tap_chunk)
+            y = maybe_ckpt(lambda f, m, n, k: sparse_conv_apply(
+                f, m, n, k, tap_chunk=self.tap_chunk))(
+                feats, out_mask, nbr_idx, w_e)
         elif self.gather == 'block':
             y = sparse_conv_apply_block(feats, out_mask, nbr_idx, w)
         else:
@@ -152,12 +179,16 @@ class SparseEncoder(nn.Module):
             jax.lax.stop_gradient(points.astype(jnp.float32)),
             points_mask, pcr, cfg.voxel_size, shape, cfg.voxel_capacity[0],
             tile_size=cfg.tile_size if use_tile else None)
+        if cfg.stop_after == 'vox':
+            return sp.feats
         feats = sp.feats.astype(self.dtype)
 
         # conv_input: 1x1 SubM, conv only (lidar_encoder.py:65-74)
         w_in = self.param('conv_input_kernel', nn.initializers.he_normal(),
                           (cfg.in_channels, cfg.base_channels), jnp.float32)
         feats = sparse_conv1x1_apply(feats, sp.mask, w_in)
+        if cfg.stop_after == 'input':
+            return feats
 
         if use_tile:
             return self._tile_stages(feats, sp, shape, train)
@@ -218,6 +249,8 @@ class SparseEncoder(nn.Module):
         zf = zfold_regroup(SparseVoxels(feats, sp.coords, sp.keys, sp.mask),
                            shape, cfg.zfold_capacity[0],
                            min(cfg.zfold, shape[2]))
+        if cfg.stop_after == 'regroup':
+            return zf.feats
         cur_cells = shape
         num_stages = len(cfg.encoder_channels)
         for i, blocks in enumerate(cfg.encoder_channels):
@@ -226,11 +259,15 @@ class SparseEncoder(nn.Module):
             down_cap = None if last else cfg.zfold_capacity[i + 1]
             nbr, strided = stage_indices_table(as_sparse(zf), sshape,
                                                down_cap)
+            if cfg.stop_after == f'table{i}':
+                return nbr
             n_subm = len(blocks) - 1 if not last else len(blocks)
             f = zf.feats
             for j in range(n_subm):
                 f = SubMConvBN(blocks[j], fold=zf.fold, dtype=self.dtype,
-                               tap_chunk=cfg.tap_chunk,
+                               tap_chunk=cfg.tap_chunk, zconv=cfg.zconv,
+                               col_chunk=cfg.col_chunk,
+                               remat=cfg.remat_conv,
                                name=f'stage{i}_subm{j}')(
                     f, zf.mask, nbr, train=train, lane_mask=zf.lane_mask)
             if not last:
@@ -242,6 +279,9 @@ class SparseEncoder(nn.Module):
                 f = SparseConvBNStride2(blocks[-1], fold_in=zf.fold,
                                         fold_out=f_out, dtype=self.dtype,
                                         tap_chunk=cfg.tap_chunk,
+                                        zconv=cfg.zconv,
+                                        col_chunk=cfg.col_chunk,
+                                        remat=cfg.remat_conv,
                                         name=f'stage{i}_down')(
                     f, om, snbr, train=train, out_lane_mask=out_lane)
                 oc2 = jnp.where(om[..., None], oc, 0)
@@ -249,6 +289,8 @@ class SparseEncoder(nn.Module):
                 cur_cells = out_cells
             else:
                 zf = zf._replace(feats=f)
+            if cfg.stop_after == f'stage{i}':
+                return zf.feats
 
         # conv_out: 1x1 SubM, conv only (lidar_encoder.py:80-89) — per-lane
         # block-diagonal kron(I_F, W) matmul
@@ -257,6 +299,8 @@ class SparseEncoder(nn.Module):
                            (cin, cfg.output_channels), jnp.float32)
         w_bd = jax.scipy.linalg.block_diag(*([w_out] * zf.fold))
         f = sparse_conv1x1_apply(zf.feats, zf.mask, w_bd)
+        if cfg.stop_after == 'conv_out':
+            return f
 
         dense = zfold_to_dense(zf._replace(feats=f), cur_cells,
                                cfg.output_channels)

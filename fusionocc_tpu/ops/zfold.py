@@ -156,6 +156,141 @@ def strided_lane_mask(lane_mask: jnp.ndarray, out_smask: jnp.ndarray,
     return occ > 0.5
 
 
+def zband_conv_apply(feats: jnp.ndarray, mask_out: jnp.ndarray,
+                     nbr_idx: jnp.ndarray, weight: jnp.ndarray,
+                     f_in: int, f_out: int, stride: int) -> jnp.ndarray:
+    """z-folded conv with the lifted weight SLICED to its nonzero bands.
+
+    The lifted (27, F*Cin, F*Cout) kernel (expand_weight) is z-banded: for
+    a super tap at z-shift ds, only the (zi, zo) pairs with
+    r = stride*zo + dz - 1 in [(ds-1)*F, ds*F) are nonzero.  For a subm
+    conv that makes the ds=+-1 blocks 1/F^2 dense (a single (Cin, Cout)
+    slice each) — yet the lifted GEMM multiplies the zeros and the tap
+    gather fetches all F*Cin lanes.  Measured on chip
+    (results/onchip_r3c): the zfold encoder's feature path runs ~416 ms
+    of 525 while its index builds cost ~60, so the conv composition is
+    the whole game.
+
+    This formulation runs one GEMM per z-shift ds over only the nonzero
+    band: the tap gather reads just the zi-band lanes of the neighbor rows
+    and the GEMM writes just the zo-band lanes of the output.  Subm convs:
+    9 full-width taps + 18 Cin-wide taps (3x less gather traffic, F/3 x
+    fewer MACs).  Strided convs: ds in {0,+1} are half-height bands, ds=-1
+    is thin (~2.4x fewer MACs).  No tap_chunk scan is needed — the fat
+    temp is (B, S, 9*F*Cin), a third of the 27-tap one-shot.
+
+    Same contract as zslice_conv_apply (super-grid neighbor map in
+    KERNEL_OFFSETS order, miss -> S_in; f_out == f_in or single out super
+    in z).
+    """
+    B, s_in, L = feats.shape
+    cin, cout = weight.shape[1], weight.shape[2]
+    assert L == f_in * cin, (L, f_in, cin)
+    span = stride * (f_out - 1) + 1
+    assert span <= 2 * f_in, (f_in, f_out, stride)
+    s_out = nbr_idx.shape[1]
+    w_e = expand_weight(weight, f_in, f_out, stride).astype(feats.dtype)
+    w_e = w_e.reshape(9, 3, f_in, cin, f_out, cout)
+    pad = jnp.concatenate([feats, jnp.zeros((B, 1, L), feats.dtype)], axis=1)
+    nbr9 = nbr_idx.reshape(B, s_out, 9, 3)
+
+    out = jnp.zeros((B, s_out, f_out * cout), jnp.float32)
+    for ds in range(3):
+        pairs = [(zo, dz) for zo in range(f_out) for dz in range(3)
+                 if (stride * zo + dz - 1) // f_in + 1 == ds]
+        if not pairs:
+            continue
+        zis = [stride * zo + dz - 1 - (ds - 1) * f_in for zo, dz in pairs]
+        zi_lo, zi_hi = min(zis), max(zis)
+        zo_lo = min(zo for zo, _ in pairs)
+        zo_hi = max(zo for zo, _ in pairs)
+        nzi, nzo = zi_hi - zi_lo + 1, zo_hi - zo_lo + 1
+        src = pad[:, :, zi_lo * cin:(zi_hi + 1) * cin]       # (B,S+1,nzi*Cin)
+        idx = nbr9[:, :, :, ds].reshape(B, s_out * 9, 1)
+        gat = jnp.take_along_axis(src, idx, axis=1)
+        gat = gat.reshape(B, s_out, 9 * nzi * cin)
+        wk = w_e[:, ds, zi_lo:zi_hi + 1, :, zo_lo:zo_hi + 1, :].reshape(
+            9 * nzi * cin, nzo * cout)
+        y = jnp.einsum('bsk,kc->bsc', gat, wk,
+                       preferred_element_type=jnp.float32)
+        out = out.at[:, :, zo_lo * cout:(zo_hi + 1) * cout].add(y)
+    out = out.astype(feats.dtype)
+    return jnp.where(mask_out[..., None], out, 0)
+
+
+def zslice_conv_apply(feats: jnp.ndarray, mask_out: jnp.ndarray,
+                      nbr_idx: jnp.ndarray, weight: jnp.ndarray,
+                      f_in: int, f_out: int, stride: int,
+                      col_chunk: int = 3) -> jnp.ndarray:
+    """z-folded conv at TRUE cell FLOPs: window slices vs the unlifted kernel.
+
+    The lifted path (expand_weight + sparse_conv_apply) runs GEMMs at
+    (S, 27*F*Cin) x (27*F*Cin, F*Cout) — F times the true MACs, because each
+    lifted (F*Cin, F*Cout) block is z-banded (an out cell reads only 3 of the
+    3*F window cells) and the MXU multiplies the zeros anyway.
+
+    Here each (dx, dy) kernel column g gathers its 3 z-consecutive super
+    rows into a window of 3*f_in cells (relative z = -f_in .. 2*f_in-1;
+    missing supers land on the zero pad row), and tap dz's operand is the
+    lane slice at cells r = stride*zo + dz - 1 — contiguous for subm convs,
+    stride-2 lane-strided for downsampling convs.  The GEMM is then
+    (B*S*f_out, 3*Cin per column) x (3*Cin, Cout): exact cell MACs, with
+    identical gather traffic to the lifted path.
+
+    Args:
+      feats: (B, S_in, f_in*Cin), zi-major lanes, inactive cells exact zero.
+      nbr_idx: (B, S_out, 27) SUPER-grid neighbor map in KERNEL_OFFSETS
+        order (z-shift minor); miss -> S_in.
+      weight: UNLIFTED (27, Cin, Cout) cell kernel.
+      col_chunk: kernel columns GEMM'd per scan step (divisor of 9); bounds
+        live window temps at col_chunk * (B, S, 3*f_in*Cin).
+    Returns (B, S_out, f_out*Cout), zeroed at invalid out supers.
+
+    Geometry contract (holds by construction in the encoder): either
+    f_out == f_in, or the output grid has a single super in z (f_out ==
+    out_z) — otherwise the super-grid neighbor map's `in = out*stride + ds
+    - 1` query would not align with the cell arithmetic.
+    """
+    B, s_in, L = feats.shape
+    cin, cout = weight.shape[1], weight.shape[2]
+    assert L == f_in * cin, (L, f_in, cin)
+    span = stride * (f_out - 1) + 1
+    assert span <= 2 * f_in, (f_in, f_out, stride)
+    s_out = nbr_idx.shape[1]
+    pad = jnp.concatenate([feats, jnp.zeros((B, 1, L), feats.dtype)], axis=1)
+    nbr9 = jnp.moveaxis(nbr_idx.reshape(B, s_out, 9, 3), 2, 0)  # (9,B,S,3)
+    w9 = weight.astype(feats.dtype).reshape(9, 3 * cin, cout)
+    assert 9 % col_chunk == 0, col_chunk
+    groups = 9 // col_chunk
+    nbr_g = nbr9.reshape(groups, col_chunk, B, s_out, 3)
+    w_g = w9.reshape(groups, col_chunk * 3 * cin, cout)
+
+    def one_group(idxs, wk):
+        parts = []
+        for j in range(col_chunk):
+            win = jnp.take_along_axis(
+                pad, idxs[j].reshape(B, s_out * 3, 1), axis=1)
+            win = win.reshape(B, s_out, 3 * f_in, cin)
+            parts.extend(
+                jax.lax.slice_in_dim(win, f_in + dz - 1,
+                                     f_in + dz - 1 + span, stride, axis=2)
+                for dz in range(3))
+        x = jnp.concatenate(parts, axis=-1)   # (B, S, f_out, chunk*3*Cin)
+        return jnp.einsum('bsfk,kc->bsfc', x, wk,
+                          preferred_element_type=jnp.float32)
+
+    if groups == 1:
+        out = one_group(nbr_g[0], w_g[0])
+    else:
+        def body(acc, xs):
+            return acc + one_group(*xs), None
+        out, _ = jax.lax.scan(
+            body, jnp.zeros((B, s_out, f_out, cout), jnp.float32),
+            (nbr_g, w_g))
+    out = out.astype(feats.dtype).reshape(B, s_out, f_out * cout)
+    return jnp.where(mask_out[..., None], out, 0)
+
+
 def zfold_to_dense(zv: ZFoldVoxels, shape: Tuple[int, int, int],
                    C: int) -> jnp.ndarray:
     """Densify to (B, X, Y, Z, C) (cells).  Lane order zi-major means the

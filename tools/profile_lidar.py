@@ -34,6 +34,8 @@ def main():
 
     from fusionocc_tpu.utils.timing import best_call_seconds, scalar_barrier
 
+    times = {}
+
     def timed(name, fn, *args, n=3):
         try:
             out = fn(*args)
@@ -43,6 +45,7 @@ def main():
                   flush=True)
             return None
         dt = best_call_seconds(fn, *args, n=n, warm=False)
+        times[name] = dt
         print(f'{name:44s} {dt * 1e3:9.1f} ms', flush=True)
         return out
 
@@ -122,26 +125,51 @@ def main():
                   conv_fn, fz, mz, nbrz, wz)
             sz_s //= 2
 
-    # --- full encoder end-to-end: zfold vs coo(table) vs coo(merge) --------
+    # --- full encoder end-to-end: zconv A/B + zfold vs coo ------------------
     import dataclasses
-    for backend, index in (('zfold', 'table'), ('coo', 'table'),
-                           ('coo', 'merge')):
-        lc = dataclasses.replace(lcfg, backend=backend, index=index)
+    variants = [('zfold/zband', dict(backend='zfold', zconv='zband')),
+                ('zfold/lifted', dict(backend='zfold', zconv='lifted')),
+                ('zfold/lifted tap_chunk=0',
+                 dict(backend='zfold', zconv='lifted', tap_chunk=0)),
+                ('zfold/zslice cc=9', dict(backend='zfold', zconv='zslice',
+                                           col_chunk=9))]
+    # all backends share one parameter tree (checkpoint interchangeability)
+    enc_i = SparseEncoder(dataclasses.replace(lcfg, **variants[0][1]),
+                          cfg.grid, dtype=cfg.dtype)
+    var = jax.jit(lambda p, m: enc_i.init(
+        jax.random.PRNGKey(0), p, m, train=False))(b.points, b.points_mask)
+    for label, kw in variants:
+        lc = dataclasses.replace(lcfg, **kw)
         enc = SparseEncoder(lc, cfg.grid, dtype=cfg.dtype)
-        var = jax.jit(lambda p, m, e=enc: e.init(
-            jax.random.PRNGKey(0), p, m, train=False))(
-            b.points, b.points_mask)
         enc_fn = jax.jit(lambda v, p, m, e=enc: e.apply(v, p, m,
                                                         train=False))
-        label = backend if backend == 'zfold' else f'{backend}/{index}'
         timed(f'encoder end-to-end [{label}]', enc_fn,
               var, b.points, b.points_mask)
         # chunk-folded: streaming time-fold runs the encoder at B=chunk
-        if backend == 'zfold':
+        if label == 'zfold/zband':
             pc = jnp.broadcast_to(b.points, (4,) + b.points.shape[1:])
             mc2 = jnp.broadcast_to(b.points_mask,
                                    (4,) + b.points_mask.shape[1:])
-            timed('encoder end-to-end [zfold] B=4', enc_fn, var, pc, mc2)
+            timed(f'encoder end-to-end [{label}] B=4', enc_fn, var, pc, mc2)
+
+    # --- zfold stage bisection: cumulative truncated encoders --------------
+    # successive deltas cancel the ~30 ms launch floor and measure each
+    # phase with REAL data and REAL neighbor maps (config.stop_after)
+    lc0 = dataclasses.replace(lcfg, backend='zfold')
+    var0 = var
+    stops = ['vox', 'regroup', 'table0', 'stage0', 'table1', 'stage1',
+             'table2', 'stage2', 'stage3', '']
+    prev = 0.0
+    for stop in stops:
+        lc = dataclasses.replace(lc0, stop_after=stop)
+        enc = SparseEncoder(lc, cfg.grid, dtype=cfg.dtype)
+        fn = jax.jit(lambda v, p, m, e=enc: e.apply(v, p, m, train=False))
+        name = f'zfold cumulative [{stop or "full"}]'
+        timed(name, fn, var0, b.points, b.points_mask)
+        if name in times:
+            print(f'    delta: {(times[name] - prev) * 1e3:9.1f} ms',
+                  flush=True)
+            prev = times[name]
 
     final_shape = tuple(s // 8 for s in shape[:2]) + (shape[2] // 8,)
     v3 = lcfg.voxel_capacity[3]
