@@ -178,8 +178,12 @@ class SparseEncoderConfig:
     # backward recomputes the 27-tap gather instead of holding the
     # (B, S, taps*F*Cin) gather temp as a jvp residual — the largest
     # per-conv residual class in the full-size train step (BENCH.md
-    # round 3 OOM analysis).
-    remat_conv: bool = False
+    # round 3 OOM analysis).  Default True: without it the full-size
+    # train step OOMs (17.5G vs 15.75G HBM); with it, measured
+    # 1.784 s/iter on v5e (results/round3_zband/train_remat_conv.log).
+    # No effect on inference HLO (checkpoint is identity without grads);
+    # value/grad equivalence pinned by tests/test_zfold.py.
+    remat_conv: bool = True
 
     def sparse_shape(self, grid: GridConfig) -> Tuple[int, int, int]:
         pcr = grid.point_cloud_range

@@ -30,6 +30,12 @@ def main():
                     help='gradient accumulation (unified recipe: 8)')
     ap.add_argument('--batch-size', type=int, default=1)
     ap.add_argument('--tiny', action='store_true')
+    ap.add_argument('--remat-conv', action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help='jax.checkpoint each sparse-conv apply so the '
+                         'backward recomputes gathers instead of holding '
+                         '(B,S,taps*F*Cin) residuals; --no-remat-conv '
+                         'reproduces the BENCH.md round-3 OOM')
     args = ap.parse_args()
 
     import jax
@@ -43,6 +49,10 @@ def main():
     from fusionocc_tpu.train.loop import create_train_state, make_jitted_steps
 
     model_cfg = tiny_model_config() if args.tiny else full_model_config()
+    import dataclasses
+    model_cfg = dataclasses.replace(
+        model_cfg, lidar=dataclasses.replace(model_cfg.lidar,
+                                             remat_conv=args.remat_conv))
     cfg = TrainConfig(model=model_cfg,
                       optim=OptimConfig(accumulate_steps=args.accum))
     batches = [jax.device_put(synthetic_batch(model_cfg, args.batch_size,
@@ -72,6 +82,7 @@ def main():
            'unit': 's/iter', 'accumulate_steps': args.accum,
            'batch_size': args.batch_size,
            'samples_per_sec': round(args.batch_size / best, 3),
+           'remat_conv': args.remat_conv,
            'last_loss': round(last, 4)}
     print(json.dumps(out))
 
