@@ -169,8 +169,21 @@ def main():
     # (chunk, cam_chunk): cam_chunk microbatches the FLOP-bound camera
     # encoder inside the block (lax.map) so chunk=8 doesn't hold 48 Swin
     # images of activations at once; the fold exists for the latency-bound
-    # LiDAR sorts, which still run at the full chunk*B
-    for chunk, cam_chunk in ((4, 0), (8, 4), (8, 2)):
+    # LiDAR sorts, which still run at the full chunk*B.
+    #
+    # RETIRED from the default sweep (round-3 measurements, BENCH.md):
+    # chunk=4 runs 778-890 ms/frame — WORSE than the plain scan (468) —
+    # and the chunk=8 variants RESOURCE_EXHAUST every run (folded
+    # gather/GEMM temps spill HBM).  Burning two known-OOM compiles per
+    # bench run bought no information; re-enable for investigation with
+    # FUSIONOCC_BENCH_FOLDS="4:0,8:4,8:2".  The code path stays tested
+    # (tests/test_streaming.py) for chips with more HBM.
+    fold_candidates = []
+    for tok in os.environ.get('FUSIONOCC_BENCH_FOLDS', '').split(','):
+        if tok.strip():
+            c, _, cc = tok.partition(':')
+            fold_candidates.append((int(c), int(cc or 0)))
+    for chunk, cam_chunk in fold_candidates:
         if time.time() - t0 > budget_s:
             print(f'# budget: skipping chunk={chunk}:{cam_chunk} '
                   f'(elapsed {time.time() - t0:.0f}s)', flush=True)

@@ -156,7 +156,8 @@ class SparseEncoderConfig:
     # taps with a bounded temp (ops/sparse_conv.py sparse_conv_apply).
     tap_chunk: int = 9
     # zfold conv formulation (ops/zfold.py), on-chip A/B 2026-08-19
-    # (results/onchip_r3c, full-size encoder end-to-end):
+    # (late-round-3 run, log not retained — see BENCH.md round-3 table;
+    # full-size encoder end-to-end):
     #   'zband'  333 ms — lifted weight sliced to its nonzero z-bands:
     #            9 full-width + 18 Cin-wide taps, one GEMM per z-shift
     #            (3x less gather traffic, ~F/3 x fewer MACs); DEFAULT.
@@ -165,7 +166,16 @@ class SparseEncoderConfig:
     #   'zslice' 514-536 ms — per-tap window slices at exact cell FLOPs,
     #            but the slices triple the window traffic and the
     #            (.., Cout) GEMMs waste the 128-lane tile; negative result.
+    #   'zwin'   — fused windowed gather-GEMM Pallas kernel
+    #            (ops/pallas/zwin_conv.py): neighbor monotonicity turns the
+    #            row gathers into 3 contiguous window DMAs per output block
+    #            + one-hot MXU row selection in VMEM; exact (lax.cond
+    #            fallback to zband when a window overflows).
     zconv: str = 'zband'
+    # zwin kernel tiling: output rows per grid step, and window size in
+    # blocks (usable neighbor span = (zwin_nwin-1)*zwin_block rows).
+    zwin_block: int = 128
+    zwin_nwin: int = 4
     # kernel columns per zslice scan step (divisor of 9): bounds live
     # window temps at col_chunk * (B, S, 3*F*Cin)
     col_chunk: int = 3
@@ -293,9 +303,30 @@ class OptimConfig:
 
 
 @dataclass(frozen=True)
+class EvalConfig:
+    """Evaluation protocol — the reference's eval-variant config axis
+    (configs/fusion_occ_occ3d_{miou,rayiou}_*.py, *_calib_{train,eval}*.py).
+
+    metric: 'miou' (masked Occ3D mIoU) or 'rayiou' (exact-traversal RayIoU;
+      implies NO camera mask at eval — visibility is handled by ray casting,
+      reference fusion_occ_occ3d_rayiou_unified.py use_image_mask=False).
+    use_image_mask: apply the camera-visibility mask in the evaluator
+      (reference test_dataloader use_image_mask).
+    split: which infos file the variant evaluates on — 'val',
+      'val_eval' (held-out calibration-eval split) or 'val_calib'
+      (temperature-fitting split); tools/test.py maps it to
+      fusionocc-nuscenes_infos_<split>.pkl next to --ann-file.
+    """
+    metric: str = 'miou'
+    use_image_mask: bool = True
+    split: str = 'val'
+
+
+@dataclass(frozen=True)
 class TrainConfig:
     model: ModelConfig = field(default_factory=ModelConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
     batch_size: int = 1            # per device
     seed: int = 0
 
@@ -324,7 +355,15 @@ def tiny_model_config(**overrides) -> ModelConfig:
         point_capacity=2048,
         voxel_capacity=(1024, 512, 256, 128),
         tile_capacity=(512, 256, 64, 16),
-        zfold_capacity=(1024, 512, 256, 128))
+        zfold_capacity=(1024, 512, 256, 128),
+        # Compile-cheap sparse path for the tiny config: the driver's
+        # multichip dryrun compiles THREE training graphs of this model on
+        # a 1-core CPU host, and round 3's zfold+remat+tap-scan defaults
+        # pushed that past the driver's budget (MULTICHIP_r03.json rc=124).
+        # zfold/zband/remat correctness is covered by dedicated tests
+        # (tests/test_zfold.py, tests/test_sharding.py); the tiny config
+        # exists to exercise the full COMPOSITION cheaply.
+        backend='coo', index='merge', remat_conv=False, tap_chunk=0)
     vt = ViewTransformerConfig(
         in_channels=32, mid_channels=16, feature_channels=8,
         seg_num_classes=18, downsample=16, aspp_mid_channels=8)

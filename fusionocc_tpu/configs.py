@@ -14,7 +14,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Dict, Tuple
 
-from .config import (ModelConfig, OptimConfig, TrainConfig,
+from .config import (EvalConfig, ModelConfig, OptimConfig, TrainConfig,
                      full_model_config, tiny_model_config)
 
 
@@ -61,6 +61,35 @@ def _image_only() -> TrainConfig:
         c, model=dataclasses.replace(c.model, use_lidar=False))
 
 
+def _rayiou(base: Callable[[], TrainConfig]) -> Callable[[], TrainConfig]:
+    """RayIoU eval protocol (fusion_occ_occ3d_rayiou_*.py): training keeps
+    the camera mask, but evaluation drops it (visibility is handled by the
+    ray casting itself) and scores RayIoU instead of masked mIoU."""
+    def make() -> TrainConfig:
+        return dataclasses.replace(
+            base(), eval=EvalConfig(metric='rayiou', use_image_mask=False))
+    return make
+
+
+def _calib_train() -> TrainConfig:
+    """Temperature-fitting run (…_unified_calib_train.py): the unified model
+    evaluated on the val_calib split; tools/train_temperature.py fits T by
+    NLL on its saved logits."""
+    return dataclasses.replace(_unified(), eval=EvalConfig(split='val_calib'))
+
+
+def _calib_eval(temperature: float) -> Callable[[], TrainConfig]:
+    """Calibrated evaluation (…_unified_calib_eval.py: T=1.5221 fitted on
+    val_calib; …_calib_eval_before.py: T=1 for the uncalibrated baseline),
+    scored on the held-out val_eval split."""
+    def make() -> TrainConfig:
+        c = _unified()
+        return dataclasses.replace(
+            c, model=dataclasses.replace(c.model, temperature=temperature),
+            eval=EvalConfig(split='val_eval'))
+    return make
+
+
 def _tiny() -> TrainConfig:
     return TrainConfig(model=tiny_model_config(),
                        optim=OptimConfig(warmup_iters=10, iters_per_epoch=10))
@@ -77,6 +106,16 @@ CONFIGS: Dict[str, Callable[[], TrainConfig]] = {
     'fusion_occ_condition_D_full': _mask_mode('condition_D_full'),
     'fusion_occ_condition_C_full': _mask_mode('condition_C_full'),
     'fusion_occ_image_only': _image_only,
+    # eval-variant zoo (reference configs/: rayiou + calibration files)
+    'fusion_occ_rayiou': _rayiou(_baseline),
+    'fusion_occ_unified_rayiou': _rayiou(_unified),
+    'fusion_occ_wo_mask_rayiou': _rayiou(_wo_mask),
+    'fusion_occ_wo_depth_sv_rayiou': _rayiou(_wo_depth_sv),
+    'fusion_occ_calib_train': _calib_train,
+    # T=1.5221: the reference's NLL-fitted temperature
+    # (fusion_occ_occ3d_miou_unified_calib_eval.py:73)
+    'fusion_occ_calib_eval': _calib_eval(1.5221),
+    'fusion_occ_calib_eval_before': _calib_eval(1.0),
     'tiny': _tiny,
 }
 

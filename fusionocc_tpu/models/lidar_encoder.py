@@ -29,6 +29,7 @@ from ..ops.sparse_conv import (build_strided_index, build_subm_index,
                                sparse_conv1x1_apply, sparse_conv_apply,
                                sparse_conv_apply_block,
                                sparse_to_dense, stage_indices_table)
+from ..ops.pallas.zwin_conv import zwin_conv_apply
 from ..ops.zfold import (ZFoldVoxels, as_sparse, expand_lane_mask,
                          expand_weight, strided_lane_mask, super_shape,
                          zband_conv_apply, zfold_regroup, zfold_to_dense,
@@ -59,6 +60,8 @@ class SubMConvBN(nn.Module):
     tap_chunk: int = 0     # bound gather temps (ops/sparse_conv.py)
     zconv: str = 'lifted'  # zfold formulation (ops/zfold.py)
     col_chunk: int = 3
+    zwin_block: int = 128  # zwin kernel tiling (ops/pallas/zwin_conv.py)
+    zwin_nwin: int = 4
     remat: bool = False    # recompute gathers in backward (config.remat_conv)
     dtype: Dtype = jnp.float32
 
@@ -78,6 +81,11 @@ class SubMConvBN(nn.Module):
                        (27, cin, self.features), jnp.float32)
         if self.tile:
             y = tile_subm_conv(feats, mask, nbr_idx, w)
+        elif self.fold and self.zconv == 'zwin':
+            y = maybe_ckpt(lambda f, m, n, k: zwin_conv_apply(
+                f, m, n, k, self.fold, self.fold, 1,
+                block_v=self.zwin_block, n_win=self.zwin_nwin))(
+                feats, mask, nbr_idx, w)
         elif self.fold and self.zconv == 'zslice':
             y = maybe_ckpt(lambda f, m, n, k: zslice_conv_apply(
                 f, m, n, k, self.fold, self.fold, 1,
@@ -121,6 +129,8 @@ class SparseConvBNStride2(nn.Module):
     tap_chunk: int = 0     # bound gather temps (ops/sparse_conv.py)
     zconv: str = 'lifted'  # zfold formulation (ops/zfold.py)
     col_chunk: int = 3
+    zwin_block: int = 128  # zwin kernel tiling (ops/pallas/zwin_conv.py)
+    zwin_nwin: int = 4
     remat: bool = False    # recompute gathers in backward (config.remat_conv)
     dtype: Dtype = jnp.float32
 
@@ -138,6 +148,11 @@ class SparseConvBNStride2(nn.Module):
                        (27, cin, self.features), jnp.float32)
         if self.tile:
             y = tile_strided_apply(feats, nbr_idx, w)
+        elif self.fold_in and self.zconv == 'zwin':
+            y = maybe_ckpt(lambda f, m, n, k: zwin_conv_apply(
+                f, m, n, k, self.fold_in, self.fold_out, 2,
+                block_v=self.zwin_block, n_win=self.zwin_nwin))(
+                feats, out_mask, nbr_idx, w)
         elif self.fold_in and self.zconv == 'zslice':
             y = maybe_ckpt(lambda f, m, n, k: zslice_conv_apply(
                 f, m, n, k, self.fold_in, self.fold_out, 2,
@@ -267,6 +282,8 @@ class SparseEncoder(nn.Module):
                 f = SubMConvBN(blocks[j], fold=zf.fold, dtype=self.dtype,
                                tap_chunk=cfg.tap_chunk, zconv=cfg.zconv,
                                col_chunk=cfg.col_chunk,
+                               zwin_block=cfg.zwin_block,
+                               zwin_nwin=cfg.zwin_nwin,
                                remat=cfg.remat_conv,
                                name=f'stage{i}_subm{j}')(
                     f, zf.mask, nbr, train=train, lane_mask=zf.lane_mask)
@@ -281,6 +298,8 @@ class SparseEncoder(nn.Module):
                                         tap_chunk=cfg.tap_chunk,
                                         zconv=cfg.zconv,
                                         col_chunk=cfg.col_chunk,
+                                        zwin_block=cfg.zwin_block,
+                                        zwin_nwin=cfg.zwin_nwin,
                                         remat=cfg.remat_conv,
                                         name=f'stage{i}_down')(
                     f, om, snbr, train=train, out_lane_mask=out_lane)

@@ -167,7 +167,7 @@ def zband_conv_apply(feats: jnp.ndarray, mask_out: jnp.ndarray,
     conv that makes the ds=+-1 blocks 1/F^2 dense (a single (Cin, Cout)
     slice each) — yet the lifted GEMM multiplies the zeros and the tap
     gather fetches all F*Cin lanes.  Measured on chip
-    (results/onchip_r3c): the zfold encoder's feature path runs ~416 ms
+    (late-round-3 run, BENCH.md): the zfold encoder's feature path runs ~416 ms
     of 525 while its index builds cost ~60, so the conv composition is
     the whole game.
 

@@ -26,6 +26,29 @@ def test_variant_leaves():
     assert get_config('fusion_occ_image_only').model.use_lidar is False
 
 
+def test_eval_variant_leaves():
+    """RayIoU + calibration variants (reference configs/ rayiou/calib files):
+    the eval PROTOCOL is part of the preset, not just a CLI flag."""
+    r = get_config('fusion_occ_unified_rayiou')
+    assert r.eval.metric == 'rayiou'
+    assert r.eval.use_image_mask is False     # ray casting handles visibility
+    assert r.model.use_mask is True           # training keeps the camera mask
+    assert r.optim.accumulate_steps == 8      # built on the unified recipe
+    wm = get_config('fusion_occ_wo_mask_rayiou')
+    assert wm.model.use_mask is False and wm.eval.metric == 'rayiou'
+    ct = get_config('fusion_occ_calib_train')
+    assert ct.eval.split == 'val_calib' and ct.model.temperature == 1.0
+    ce = get_config('fusion_occ_calib_eval')
+    assert ce.eval.split == 'val_eval'
+    assert abs(ce.model.temperature - 1.5221) < 1e-9
+    cb = get_config('fusion_occ_calib_eval_before')
+    assert cb.eval.split == 'val_eval' and cb.model.temperature == 1.0
+    # the default protocol is masked mIoU on val
+    b = get_config('fusion_occ')
+    assert (b.eval.metric, b.eval.use_image_mask, b.eval.split) == \
+        ('miou', True, 'val')
+
+
 def test_overrides():
     cfg = get_config('fusion_occ', lr=1e-4, num_adj=1, batch_size=2)
     assert cfg.optim.lr == 1e-4

@@ -216,7 +216,11 @@ def test_encoder_remat_conv_same_grads():
 
     cfg = tiny_model_config()
     b = synthetic_batch(cfg, batch_size=1, seed=2)
-    lc = dataclasses.replace(cfg.lidar, backend='zfold', zconv='zband')
+    # remat OFF explicitly for the baseline: inheriting the config default
+    # would make this comparison vacuous if the default ever flips
+    # (advisor finding, round 3)
+    lc = dataclasses.replace(cfg.lidar, backend='zfold', zconv='zband',
+                             remat_conv=False)
     lc_r = dataclasses.replace(lc, remat_conv=True)
     enc = SparseEncoder(lc, cfg.grid, dtype=jnp.float32)
     enc_r = SparseEncoder(lc_r, cfg.grid, dtype=jnp.float32)

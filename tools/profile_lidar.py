@@ -127,7 +127,16 @@ def main():
 
     # --- full encoder end-to-end: zconv A/B + zfold vs coo ------------------
     import dataclasses
-    variants = [('zfold/zband', dict(backend='zfold', zconv='zband')),
+    variants = [('zfold/zwin', dict(backend='zfold', zconv='zwin')),
+                ('zfold/zwin v256k2',
+                 dict(backend='zfold', zconv='zwin', zwin_block=256,
+                      zwin_nwin=2)),
+                ('zfold/zwin v128k6',
+                 dict(backend='zfold', zconv='zwin', zwin_nwin=6)),
+                ('zfold/zwin v256k3',
+                 dict(backend='zfold', zconv='zwin', zwin_block=256,
+                      zwin_nwin=3)),
+                ('zfold/zband', dict(backend='zfold', zconv='zband')),
                 ('zfold/lifted', dict(backend='zfold', zconv='lifted')),
                 ('zfold/lifted tap_chunk=0',
                  dict(backend='zfold', zconv='lifted', tap_chunk=0)),

@@ -22,6 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument('--config', default=None,
+                    help='named preset from fusionocc_tpu.configs (e.g. '
+                         'fusion_occ_unified_rayiou, fusion_occ_calib_eval) '
+                         '— sets model variant AND eval protocol (metric, '
+                         'eval-time camera mask, temperature, split); CLI '
+                         'flags still override')
     ap.add_argument('--ann-file', default=None)
     ap.add_argument('--data-root', default='')
     ap.add_argument('--img-seg-dir', default=None)
@@ -70,7 +76,28 @@ def main():
     from fusionocc_tpu.train import checkpoint as ckpt
     from fusionocc_tpu.train.loop import create_train_state
 
-    model_cfg = tiny_model_config() if args.tiny else full_model_config()
+    from fusionocc_tpu.config import EvalConfig
+    eval_cfg = EvalConfig()
+    if args.config:
+        from fusionocc_tpu.configs import get_config
+        preset = get_config(args.config)
+        model_cfg = preset.model
+        eval_cfg = preset.eval
+        if eval_cfg.metric == 'rayiou':
+            args.rayiou = True
+        if args.ann_file and eval_cfg.split != 'val':
+            # the calib variants evaluate on their own split
+            # (reference *_calib_*.py ann_file=...infos_val_{eval,calib}.pkl)
+            args.ann_file = args.ann_file.replace(
+                '_val.pkl', f'_{eval_cfg.split}.pkl')
+    else:
+        model_cfg = tiny_model_config() if args.tiny else full_model_config()
+    if args.config and args.tiny:
+        import dataclasses
+        model_cfg = dataclasses.replace(
+            tiny_model_config(), use_mask=model_cfg.use_mask,
+            mask_mode=model_cfg.mask_mode, use_lidar=model_cfg.use_lidar,
+            temperature=model_cfg.temperature)
     if args.fp32:
         import dataclasses
         model_cfg = dataclasses.replace(model_cfg, compute_dtype='float32')
@@ -179,8 +206,13 @@ def main():
             idxs = (key_pool_idx(batch),) + (None,) * (model_cfg.num_frame - 1)
             return _predict(batch, idxs)
 
+    # eval-time mask policy: the PRESET's eval protocol when --config is
+    # given (RayIoU variants evaluate unmasked even when trained masked),
+    # else the model's own training mask setting (legacy behavior)
+    use_image_mask = (eval_cfg.use_image_mask if args.config
+                      else model_cfg.use_mask)
     metric = OccupancyMetric(num_classes=model_cfg.num_classes,
-                             use_image_mask=model_cfg.use_mask,
+                             use_image_mask=use_image_mask,
                              grid=model_cfg.grid if args.buckets else None)
     lat = []
     from fusionocc_tpu.eval.ray_metrics import RayIoUMetric
