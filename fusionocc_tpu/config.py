@@ -176,6 +176,12 @@ class SparseEncoderConfig:
     # blocks (usable neighbor span = (zwin_nwin-1)*zwin_block rows).
     zwin_block: int = 128
     zwin_nwin: int = 4
+    # Overflow-block recompute capacity as a fraction of the output
+    # blocks: blocks whose span exceeds the window (the x-slab-boundary
+    # tail, tools/check_zwin_spans.py: p99 span ~2-5 blocks but max up to
+    # 16) are recomputed exactly by a compacted zband pass; only past
+    # this cap does the whole layer fall back.
+    zwin_bad_frac: float = 0.125
     # kernel columns per zslice scan step (divisor of 9): bounds live
     # window temps at col_chunk * (B, S, 3*F*Cin)
     col_chunk: int = 3
@@ -372,6 +378,33 @@ def tiny_model_config(**overrides) -> ModelConfig:
         grid=grid, swin=swin, lidar=lidar, vt=vt,
         img_neck_out_channels=32, img_channels=8, lidar_out_channels=8,
         compute_dtype="float32")
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+def midsize_model_config(**overrides) -> ModelConfig:
+    """A mid-scale config that hits the FULL-SIZE structural edge cases the
+    tiny config cannot, while staying CPU-golden-testable:
+
+      - window-12 Swin on grids non-divisible by 12 in BOTH axes
+        (176x352 input -> 44x88 stage-0 tokens; full size pads 128x352
+        the same way) — exercises window padding + shifted masks at the
+        production window size;
+      - the production depth axis: D=88 bins (1..45 m at 0.5) at
+        downsample 16 — the real frustum/pooling ratios;
+      - zfold backend with a NON-FULL last fold (sparse z 32 -> stage-3
+        supers hold f_out=4 < 8), torch-goldened via the dense-conv
+        equivalence (the full 1600^2 grid is not torch-dense-testable).
+
+    Used by tests/test_full_golden.py alongside the tiny config.
+    """
+    base = tiny_model_config()
+    swin = dataclasses.replace(
+        base.swin, embed_dims=32, depths=(1, 1, 2, 1),
+        num_heads=(1, 2, 4, 8), window_size=12)
+    lidar = dataclasses.replace(base.lidar, backend='zfold', zconv='zband')
+    grid = dataclasses.replace(base.grid, depth=(1.0, 45.0, 0.5))  # D=88
+    cfg = dataclasses.replace(
+        base, input_size=(176, 352), swin=swin, lidar=lidar, grid=grid)
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
 
 

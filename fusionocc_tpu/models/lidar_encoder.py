@@ -62,6 +62,7 @@ class SubMConvBN(nn.Module):
     col_chunk: int = 3
     zwin_block: int = 128  # zwin kernel tiling (ops/pallas/zwin_conv.py)
     zwin_nwin: int = 4
+    zwin_bad_frac: float = 0.125  # overflow-block recompute capacity
     remat: bool = False    # recompute gathers in backward (config.remat_conv)
     dtype: Dtype = jnp.float32
 
@@ -84,7 +85,8 @@ class SubMConvBN(nn.Module):
         elif self.fold and self.zconv == 'zwin':
             y = maybe_ckpt(lambda f, m, n, k: zwin_conv_apply(
                 f, m, n, k, self.fold, self.fold, 1,
-                block_v=self.zwin_block, n_win=self.zwin_nwin))(
+                block_v=self.zwin_block, n_win=self.zwin_nwin,
+                bad_frac=self.zwin_bad_frac))(
                 feats, mask, nbr_idx, w)
         elif self.fold and self.zconv == 'zslice':
             y = maybe_ckpt(lambda f, m, n, k: zslice_conv_apply(
@@ -131,6 +133,7 @@ class SparseConvBNStride2(nn.Module):
     col_chunk: int = 3
     zwin_block: int = 128  # zwin kernel tiling (ops/pallas/zwin_conv.py)
     zwin_nwin: int = 4
+    zwin_bad_frac: float = 0.125  # overflow-block recompute capacity
     remat: bool = False    # recompute gathers in backward (config.remat_conv)
     dtype: Dtype = jnp.float32
 
@@ -151,7 +154,8 @@ class SparseConvBNStride2(nn.Module):
         elif self.fold_in and self.zconv == 'zwin':
             y = maybe_ckpt(lambda f, m, n, k: zwin_conv_apply(
                 f, m, n, k, self.fold_in, self.fold_out, 2,
-                block_v=self.zwin_block, n_win=self.zwin_nwin))(
+                block_v=self.zwin_block, n_win=self.zwin_nwin,
+                bad_frac=self.zwin_bad_frac))(
                 feats, out_mask, nbr_idx, w)
         elif self.fold_in and self.zconv == 'zslice':
             y = maybe_ckpt(lambda f, m, n, k: zslice_conv_apply(
@@ -284,6 +288,7 @@ class SparseEncoder(nn.Module):
                                col_chunk=cfg.col_chunk,
                                zwin_block=cfg.zwin_block,
                                zwin_nwin=cfg.zwin_nwin,
+                               zwin_bad_frac=cfg.zwin_bad_frac,
                                remat=cfg.remat_conv,
                                name=f'stage{i}_subm{j}')(
                     f, zf.mask, nbr, train=train, lane_mask=zf.lane_mask)
@@ -300,6 +305,7 @@ class SparseEncoder(nn.Module):
                                         col_chunk=cfg.col_chunk,
                                         zwin_block=cfg.zwin_block,
                                         zwin_nwin=cfg.zwin_nwin,
+                                        zwin_bad_frac=cfg.zwin_bad_frac,
                                         remat=cfg.remat_conv,
                                         name=f'stage{i}_down')(
                     f, om, snbr, train=train, out_lane_mask=out_lane)

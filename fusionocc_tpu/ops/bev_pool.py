@@ -112,7 +112,10 @@ def trim_pooling_index(idx: PoolingIndex, block: int | None = None
         from .pallas.segsum import BLK as block  # keep the Pallas fast path
     n_valid = int(np.asarray(idx.bounds[-1]))
     P = idx.ranks_bev.shape[0]
-    n_pad = min(P, -(-n_valid // block) * block)
+    # keep at least one block: a rig whose cameras see nothing inside the
+    # grid (n_valid == 0) must yield a zero pooled volume, not a 0-length
+    # index that XLA cannot gather from (tests/test_ondisk.py)
+    n_pad = min(P, max(block, -(-n_valid // block) * block))
     if n_pad >= P:
         return idx
     return PoolingIndex(idx.ranks_depth[:n_pad], idx.ranks_feat[:n_pad],

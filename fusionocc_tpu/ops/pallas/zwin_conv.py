@@ -107,13 +107,15 @@ def _make_kernel(taps, n_win: int, cin: int, block_v: int, win_rows: int,
 
 def _prepare(nbr_idx: jnp.ndarray, s_in: int, block_v: int, n_win: int):
     """XLA-side precompute: per-(block, dx) aligned window base blocks, the
-    in-window rel offsets per tap, and the overflow flag.
+    in-window rel offsets per tap, and per-block overflow flags.
 
-    Returns (blk, rel, overflow):
+    Returns (blk, rel, bad_blk):
       blk: (B, nb, 3) int32 block indices into the Vb-padded feats;
       rel: (B, S_out, 27) int32 offsets into the dx window, sentinel K*Vb
         for misses / out-of-window taps;
-      overflow: () bool — True if any FOUND tap fell outside its window.
+      bad_blk: (B, nb) bool — True where a FOUND tap fell outside its
+        window (that block's kernel output is partial and must be patched
+        by the compacted zband pass).
     """
     b, s_out, _ = nbr_idx.shape
     nb = s_out // block_v
@@ -131,24 +133,28 @@ def _prepare(nbr_idx: jnp.ndarray, s_in: int, block_v: int, n_win: int):
                            axis=-1).reshape(b, s_out, 27)
     rel = nbr_idx - base_full
     ok = found & (rel >= 0) & (rel < win_rows)
-    overflow = jnp.any(found & ~ok)
+    bad_blk = jnp.any((found & ~ok).reshape(b, nb, block_v * 27), axis=-1)
     rel = jnp.where(ok, rel, win_rows).astype(jnp.int32)
-    return blk.astype(jnp.int32), rel, overflow
+    return blk.astype(jnp.int32), rel, bad_blk
 
 
 def zwin_conv_apply(feats: jnp.ndarray, mask_out: jnp.ndarray,
                     nbr_idx: jnp.ndarray, weight: jnp.ndarray,
                     f_in: int, f_out: int, stride: int,
-                    block_v: int = 128, n_win: int = 4) -> jnp.ndarray:
+                    block_v: int = 128, n_win: int = 4,
+                    bad_frac: float = 0.125) -> jnp.ndarray:
     """Drop-in replacement for zband_conv_apply (same contract/result).
 
     feats: (B, S_in, f_in*Cin) zi-major lanes; nbr_idx: (B, S_out, 27)
     super-grid neighbor map in KERNEL_OFFSETS order (miss -> S_in);
     weight: unlifted (27, Cin, Cout).  Returns (B, S_out, f_out*Cout).
 
-    Falls back to the XLA zband path (statically) when shapes don't tile,
-    and (dynamically, via lax.cond) when a pathological cloud overflows the
-    (n_win-1)*block_v-row window — the result is always exact.
+    Falls back to the XLA zband path (statically) when shapes don't tile.
+    Blocks whose neighbor span overflows the n_win*block_v-row window are
+    recomputed exactly by a compacted zband pass (capacity
+    ceil(bad_frac * n_blocks) blocks; measured spans:
+    tools/check_zwin_spans.py); only when MORE blocks than that overflow
+    does the whole layer lax.cond to zband — the result is always exact.
     """
     b, s_in, l_in = feats.shape
     cin, cout = weight.shape[1], weight.shape[2]
@@ -158,18 +164,18 @@ def zwin_conv_apply(feats: jnp.ndarray, mask_out: jnp.ndarray,
         return zband_conv_apply(feats, mask_out, nbr_idx, weight,
                                 f_in, f_out, stride)
     return _zwin_custom(feats, mask_out, nbr_idx, weight, f_in, f_out,
-                        stride, block_v, n_win)
+                        stride, block_v, n_win, bad_frac)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def _zwin_custom(feats, mask_out, nbr_idx, weight, f_in, f_out, stride,
-                 block_v, n_win):
+                 block_v, n_win, bad_frac):
     return _zwin_fwd_impl(feats, mask_out, nbr_idx, weight, f_in, f_out,
-                          stride, block_v, n_win)
+                          stride, block_v, n_win, bad_frac)
 
 
 def _zwin_fwd_impl(feats, mask_out, nbr_idx, weight, f_in, f_out, stride,
-                   block_v, n_win):
+                   block_v, n_win, bad_frac):
     b, s_in, l_in = feats.shape
     cin, cout = weight.shape[1], weight.shape[2]
     l_out = f_out * cout
@@ -194,11 +200,20 @@ def _zwin_fwd_impl(feats, mask_out, nbr_idx, weight, f_in, f_out, stride,
         w_off += nzi * cin
     w_cat = jnp.concatenate(w_slices, axis=0)            # (w_off, L_out)
 
-    blk, rel, overflow = _prepare(nbr_idx, s_in, block_v, n_win)
+    blk, rel, bad_blk = _prepare(nbr_idx, s_in, block_v, n_win)
     n_pad_blocks = -(-s_in // block_v) + n_win
     pad_rows = n_pad_blocks * block_v - s_in
     feats_pad = jnp.concatenate(
         [feats, jnp.zeros((b, pad_rows, l_in), dtype)], axis=1)
+
+    # Block-granular fallback capacity: the span tail (x-slab boundary
+    # crossings, tools/check_zwin_spans.py) makes SOME blocks exceed any
+    # reasonable static window on every real cloud, so a whole-layer
+    # fallback would always fire.  Instead the kernel runs everywhere
+    # (out-of-window taps contribute zero via the rel sentinel) and the
+    # few bad blocks are recomputed exactly by zband on a compacted
+    # (n_bad_cap * Vb)-row problem, then scattered over the kernel output.
+    n_bad_cap = max(1, min(nb, int(-(-nb * bad_frac // 1))))
 
     def win_spec(dx, j):
         return pl.BlockSpec(
@@ -220,7 +235,14 @@ def _zwin_fwd_impl(feats, mask_out, nbr_idx, weight, f_in, f_out, stride,
     )
     kernel = _make_kernel(taps, n_win, cin, block_v, win_rows, dtype)
 
-    def pallas_path(operands):
+    # compaction order: bad block ids first (index order), then good ids
+    n_bad = bad_blk.sum()
+    iota_nb = jnp.arange(nb, dtype=jnp.int32)[None]
+    order = jnp.argsort(jnp.where(bad_blk, iota_nb, nb + iota_nb), axis=1)
+    bad_ids = order[:, :n_bad_cap]                       # (B, nbc)
+    is_bad = jnp.take_along_axis(bad_blk, bad_ids, axis=1)
+
+    def pallas_then_patch(operands):
         feats_pad, rel, blk, w_cat = operands
         wins = [feats_pad] * (3 * n_win)
         out = pl.pallas_call(
@@ -229,26 +251,41 @@ def _zwin_fwd_impl(feats, mask_out, nbr_idx, weight, f_in, f_out, stride,
             out_shape=jax.ShapeDtypeStruct((b, s_out, l_out), dtype),
             interpret=_use_interpret(),
         )(blk, rel, *wins, w_cat)
-        return out
+        # exact recompute of the (few) bad blocks: zband on the compacted
+        # (n_bad_cap * Vb)-row problem, block-scattered over the output
+        nbr_b = jnp.take_along_axis(
+            nbr_idx.reshape(b, nb, block_v * 27), bad_ids[:, :, None],
+            axis=1).reshape(b, n_bad_cap * block_v, 27)
+        mask_b = jnp.broadcast_to(
+            is_bad[:, :, None],
+            (b, n_bad_cap, block_v)).reshape(b, n_bad_cap * block_v)
+        corr = zband_conv_apply(feats, mask_b, nbr_b, weight,
+                                f_in, f_out, stride)
+        ids_safe = jnp.where(is_bad, bad_ids, nb)        # drop pad slots
+        out3 = out.reshape(b, nb, block_v * l_out)
+        corr3 = corr.reshape(b, n_bad_cap, block_v * l_out)
+        out3 = out3.at[jnp.arange(b)[:, None], ids_safe].set(
+            corr3, mode='drop')
+        return out3.reshape(b, s_out, l_out)
 
     def xla_path(operands):
         del operands
         return zband_conv_apply(feats, jnp.ones_like(mask_out), nbr_idx,
                                 weight, f_in, f_out, stride)
 
-    out = jax.lax.cond(overflow, xla_path, pallas_path,
+    out = jax.lax.cond(n_bad > n_bad_cap, xla_path, pallas_then_patch,
                        (feats_pad, rel, blk, w_cat))
     return jnp.where(mask_out[..., None], out, 0)
 
 
 def _zwin_fwd(feats, mask_out, nbr_idx, weight, f_in, f_out, stride,
-              block_v, n_win):
+              block_v, n_win, bad_frac):
     out = _zwin_fwd_impl(feats, mask_out, nbr_idx, weight, f_in, f_out,
-                         stride, block_v, n_win)
+                         stride, block_v, n_win, bad_frac)
     return out, (feats, mask_out, nbr_idx, weight)
 
 
-def _zwin_bwd(f_in, f_out, stride, block_v, n_win, res, g):
+def _zwin_bwd(f_in, f_out, stride, block_v, n_win, bad_frac, res, g):
     """Backward = VJP of the numerically identical XLA zband path."""
     feats, mask_out, nbr_idx, weight = res
     _, vjp = jax.vjp(

@@ -30,7 +30,7 @@ from test_torch_golden import (TorchBasicBlock, TorchBasicBlock3D,
                                TorchCrossModalFusion, conv_bn_relu,
                                _randomize)
 
-from fusionocc_tpu.config import tiny_model_config
+from fusionocc_tpu.config import midsize_model_config, tiny_model_config
 from fusionocc_tpu.data.synthetic import synthetic_batch
 from fusionocc_tpu.geometry import (frustum_to_ego, get_mlp_input,
                                     make_frustum)
@@ -361,9 +361,14 @@ def np_depth_onehot(sparse_depth, ds, grid):
 # the test
 # ---------------------------------------------------------------------------
 
-@pytest.fixture(scope='module')
-def full_setup():
-    cfg = tiny_model_config()
+@pytest.fixture(scope='module', params=['tiny', 'midsize'])
+def full_setup(request):
+    """Full-composition parity at two scales: 'tiny' (fast, COO sparse
+    backend) and 'midsize' (production window-12 padding on non-divisible
+    grids, D=88/downsample-16 frustum, zfold backend with a non-full last
+    fold — the structural edges the tiny config cannot reach)."""
+    cfg = (tiny_model_config() if request.param == 'tiny'
+           else midsize_model_config())
     batch = synthetic_batch(cfg, 1, 0, num_points=96)
     # cluster the points so every stage's active set fits the static
     # capacities with no truncation (dense == sparse then holds exactly)

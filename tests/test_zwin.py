@@ -74,20 +74,44 @@ def test_zwin_matches_zband_strided():
                                rtol=1e-5, atol=1e-6)
 
 
-def test_zwin_overflow_falls_back_exactly():
-    """A 1-block window is too small for real neighbor spans: the overflow
-    flag must fire and the lax.cond must route to the exact XLA path."""
+def test_zwin_overflow_patch_path_exact():
+    """A 1-block window is too small for real neighbor spans: per-block
+    overflow flags must fire, and with bad_frac=1.0 the compacted-zband
+    patch path must recompute those blocks exactly."""
     rng = np.random.RandomState(5)
     shape = (12, 10, 16)
     zv, sshape = _zfold_fixture(rng, shape, B=1, V=96, cin=2, capacity=96,
                                 density_pts=150)
     nbr, _ = stage_indices_table(as_sparse(zv), sshape, None)
-    _, _, overflow = _prepare(nbr, zv.feats.shape[1], block_v=8, n_win=1)
-    assert bool(overflow), 'fixture must actually overflow a 1-block window'
+    _, _, bad_blk = _prepare(nbr, zv.feats.shape[1], block_v=8, n_win=1)
+    n_bad = int(np.asarray(bad_blk).sum())
+    assert n_bad > 0, 'fixture must actually overflow a 1-block window'
+    assert n_bad < bad_blk.shape[1], \
+        'fixture must also exercise non-overflowed kernel blocks'
     w = jnp.asarray(rng.randn(27, 2, 3), jnp.float32) * 0.1
     ref = zband_conv_apply(zv.feats, zv.mask, nbr, w, 8, 8, 1)
     got = zwin_conv_apply(zv.feats, zv.mask, nbr, w, 8, 8, 1,
-                          block_v=8, n_win=1)
+                          block_v=8, n_win=1, bad_frac=1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_zwin_global_fallback_exact():
+    """More overflowed blocks than the bad_frac capacity: the whole layer
+    must lax.cond to the exact XLA path."""
+    rng = np.random.RandomState(5)
+    shape = (12, 10, 16)
+    zv, sshape = _zfold_fixture(rng, shape, B=1, V=96, cin=2, capacity=96,
+                                density_pts=150)
+    nbr, _ = stage_indices_table(as_sparse(zv), sshape, None)
+    _, _, bad_blk = _prepare(nbr, zv.feats.shape[1], block_v=8, n_win=1)
+    nb = bad_blk.shape[1]
+    assert int(np.asarray(bad_blk).sum()) > max(1, nb // nb), \
+        'fixture must exceed a 1-block bad capacity'
+    w = jnp.asarray(rng.randn(27, 2, 3), jnp.float32) * 0.1
+    ref = zband_conv_apply(zv.feats, zv.mask, nbr, w, 8, 8, 1)
+    got = zwin_conv_apply(zv.feats, zv.mask, nbr, w, 8, 8, 1,
+                          block_v=8, n_win=1, bad_frac=1.0 / nb)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
 
@@ -99,8 +123,8 @@ def test_zwin_no_overflow_on_fixture():
     zv, sshape = _zfold_fixture(rng, shape, B=2, V=96, cin=3, capacity=96,
                                 density_pts=140)
     nbr, _ = stage_indices_table(as_sparse(zv), sshape, None)
-    _, _, overflow = _prepare(nbr, zv.feats.shape[1], block_v=8, n_win=4)
-    assert not bool(overflow)
+    _, _, bad_blk = _prepare(nbr, zv.feats.shape[1], block_v=8, n_win=4)
+    assert not bool(np.asarray(bad_blk).any())
 
 
 def test_zwin_grads_match_zband():

@@ -1,0 +1,79 @@
+"""Focused on-chip A/B: zwin fused windowed gather-GEMM Pallas kernel
+(ops/pallas/zwin_conv.py) vs the zband XLA baseline, full-size encoder
+end-to-end at honest capacities.
+
+A trimmed cut of tools/profile_lidar.py (which bisects everything and
+takes ~30+ min); this answers ONE question fast: does zwin beat zband,
+and at which tiling? Timing uses the sum-reduce barrier
+(tools/profile_forward.py rationale — block_until_ready is broken over
+the tunnel).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+    import numpy as np  # noqa: F401
+
+    jax.config.update('jax_compilation_cache_dir', '/tmp/fusionocc_jax_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+    from fusionocc_tpu.config import full_model_config
+    from fusionocc_tpu.data.synthetic import synthetic_batch
+    from fusionocc_tpu.models.lidar_encoder import SparseEncoder
+    from fusionocc_tpu.utils.timing import best_call_seconds, scalar_barrier
+
+    cfg = full_model_config()
+    lcfg = cfg.lidar
+    b = jax.device_put(synthetic_batch(cfg, batch_size=1, seed=0))
+    print(f'sparse_shape={lcfg.sparse_shape(cfg.grid)} '
+          f'zfold_caps={lcfg.zfold_capacity}', flush=True)
+
+    # all zwin variants now use the block-granular overflow patch
+    # (bad blocks recomputed by compacted zband; global fallback only past
+    # bad_frac) — span data: tools/check_zwin_spans.py.
+    variants = [
+        ('zband (round-3 default)', dict(backend='zfold', zconv='zband')),
+        ('zwin b128 n4 bf.125', dict(backend='zfold', zconv='zwin')),
+        ('zwin b128 n3 bf.25', dict(backend='zfold', zconv='zwin',
+                                    zwin_nwin=3, zwin_bad_frac=0.25)),
+        ('zwin b128 n6 bf.0625', dict(backend='zfold', zconv='zwin',
+                                      zwin_nwin=6, zwin_bad_frac=0.0625)),
+        ('zwin b256 n2 bf.25', dict(backend='zfold', zconv='zwin',
+                                    zwin_block=256, zwin_nwin=2,
+                                    zwin_bad_frac=0.25)),
+        ('zwin b128 n2 bf.5', dict(backend='zfold', zconv='zwin',
+                                   zwin_nwin=2, zwin_bad_frac=0.5)),
+    ]
+    enc_i = SparseEncoder(dataclasses.replace(lcfg, **variants[0][1]),
+                          cfg.grid, dtype=cfg.dtype)
+    var = jax.jit(lambda p, m: enc_i.init(
+        jax.random.PRNGKey(0), p, m, train=False))(b.points, b.points_mask)
+    print('init done', flush=True)
+
+    for label, kw in variants:
+        lc = dataclasses.replace(lcfg, **kw)
+        enc = SparseEncoder(lc, cfg.grid, dtype=cfg.dtype)
+        enc_fn = jax.jit(lambda v, p, m, e=enc: e.apply(v, p, m,
+                                                        train=False))
+        try:
+            out = enc_fn(var, b.points, b.points_mask)
+            scalar_barrier(out)
+        except Exception as e:
+            print(f'{label:28s} FAILED {type(e).__name__}: {str(e)[:300]}',
+                  flush=True)
+            continue
+        dt = best_call_seconds(enc_fn, var, b.points, b.points_mask,
+                               n=3, warm=False)
+        print(f'encoder e2e [{label:28s}] {dt * 1e3:9.1f} ms', flush=True)
+
+
+if __name__ == '__main__':
+    main()
