@@ -182,9 +182,24 @@ class SparseEncoderConfig:
     # 16) are recomputed exactly by a compacted zband pass; only past
     # this cap does the whole layer fall back.
     zwin_bad_frac: float = 0.125
+    # Merged-tap zwin kernel body: per dx ONE stacked one-hot selection
+    # matmul + ONE banded weight matmul instead of 9 of each (the round-4
+    # bisection shows the kernel is per-matmul-cost bound, not FLOP bound;
+    # ops/pallas/zwin_conv.py::_make_kernel_merged).
+    zwin_merged: bool = False
     # kernel columns per zslice scan step (divisor of 9): bounds live
     # window temps at col_chunk * (B, S, 3*F*Cin)
     col_chunk: int = 3
+    # Dense-conv crossover for the LATE encoder stages: stages >=
+    # dense_from run as masked dense convs over the densified volume
+    # (ops/dense_conv.py) — by stages 2-3 the grids are small enough that
+    # plain dense conv beats the sparse selection machinery and needs no
+    # index tables.  4 = never (all stages sparse).  Only meaningful for
+    # backend='zfold'.
+    dense_from: int = 4
+    # Dense conv formulation: 'zbatch' folds z into the batch axis (3
+    # z-shifted 2D convs at true cell FLOPs); 'xla3d' one NDHWC conv call.
+    dense_mode: str = 'zbatch'
     # Profiling support: truncate the encoder after a named phase and
     # return the live intermediate ('vox', 'input', 'regroup', 'table0'..,
     # 'stage0'.., 'conv_out'); '' runs the full encoder.  Used by
@@ -244,6 +259,10 @@ class ModelConfig:
     use_lidar: bool = True   # False = image-only mode (zero lidar features,
                              # the reference's fallback, fusion_occ.py:1475-1482)
     mask_mode: str = 'baseline_with_mask'  # training-mask ablation (data/masks.py)
+    # condition_C distance threshold in metres (reference ablation
+    # fusion_occ_occ3d_miou_unified_condition_C_20m.py:185: 20.0 vs the
+    # condition_C default 35.0); only read when mask_mode='condition_C'.
+    mask_dist_threshold_c: float = 35.0
     temperature: float = 1.0  # calibration temperature for probability outputs
     use_predicter: bool = True
     fuse_loss_weight: float = 0.1

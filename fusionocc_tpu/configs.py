@@ -32,26 +32,46 @@ def _unified() -> TrainConfig:
                           backbone_lr_mult=0.1))
 
 
-def _wo_mask() -> TrainConfig:
+def _wo_mask(base: Callable[[], TrainConfig] = None) \
+        -> Callable[[], TrainConfig]:
     """wo_train_cam_mask: every voxel supervised."""
-    c = _baseline()
-    return dataclasses.replace(
-        c, model=dataclasses.replace(c.model, use_mask=False,
-                                     mask_mode='baseline_without_mask'))
-
-
-def _wo_depth_sv() -> TrainConfig:
-    """Depth-supervision ablation (…_wo_DepthSV.py:81: depth_loss_weight=0)."""
-    c = _baseline()
-    return dataclasses.replace(
-        c, model=dataclasses.replace(c.model, depth_loss_weight=0.0))
-
-
-def _mask_mode(mode: str) -> Callable[[], TrainConfig]:
     def make() -> TrainConfig:
-        c = _baseline()
+        c = (base or _baseline)()
         return dataclasses.replace(
-            c, model=dataclasses.replace(c.model, mask_mode=mode))
+            c, model=dataclasses.replace(c.model, use_mask=False,
+                                         mask_mode='baseline_without_mask'))
+    return make
+
+
+def _wo_depth_sv(base: Callable[[], TrainConfig] = None) \
+        -> Callable[[], TrainConfig]:
+    """Depth-supervision ablation (…_wo_DepthSV.py:81: depth_loss_weight=0)."""
+    def make() -> TrainConfig:
+        c = (base or _baseline)()
+        return dataclasses.replace(
+            c, model=dataclasses.replace(c.model, depth_loss_weight=0.0))
+    return make
+
+
+def _hybrid_eval(base: Callable[[], TrainConfig]) \
+        -> Callable[[], TrainConfig]:
+    """The ori_setting evaluator (OccupancyMetricHybrid,
+    fusion_occ_occ3d_miou_ori_setting.py:287): masked mIoU + RayIoU."""
+    def make() -> TrainConfig:
+        return dataclasses.replace(base(), eval=EvalConfig(metric='hybrid'))
+    return make
+
+
+def _mask_mode(mode: str, base: Callable[[], TrainConfig] = None,
+               dist_c: float = 35.0) -> Callable[[], TrainConfig]:
+    """Distance-condition mask ablations (reference
+    fusion_occ_occ3d_miou_unified_condition_*.py — all on the unified
+    recipe; the 20m variant only moves dist_threshold_c, …_C_20m.py:185)."""
+    def make() -> TrainConfig:
+        c = (base or _unified)()
+        return dataclasses.replace(
+            c, model=dataclasses.replace(c.model, mask_mode=mode,
+                                         mask_dist_threshold_c=dist_c))
     return make
 
 
@@ -71,19 +91,25 @@ def _rayiou(base: Callable[[], TrainConfig]) -> Callable[[], TrainConfig]:
     return make
 
 
-def _calib_train() -> TrainConfig:
+def _calib_train(base: Callable[[], TrainConfig] = None) \
+        -> Callable[[], TrainConfig]:
     """Temperature-fitting run (…_unified_calib_train.py): the unified model
     evaluated on the val_calib split; tools/train_temperature.py fits T by
     NLL on its saved logits."""
-    return dataclasses.replace(_unified(), eval=EvalConfig(split='val_calib'))
-
-
-def _calib_eval(temperature: float) -> Callable[[], TrainConfig]:
-    """Calibrated evaluation (…_unified_calib_eval.py: T=1.5221 fitted on
-    val_calib; …_calib_eval_before.py: T=1 for the uncalibrated baseline),
-    scored on the held-out val_eval split."""
     def make() -> TrainConfig:
-        c = _unified()
+        return dataclasses.replace((base or _unified)(),
+                                   eval=EvalConfig(split='val_calib'))
+    return make
+
+
+def _calib_eval(temperature: float,
+                base: Callable[[], TrainConfig] = None) \
+        -> Callable[[], TrainConfig]:
+    """Calibrated evaluation (…_unified_calib_eval.py: T=1.5221 fitted on
+    val_calib, wo_mask variant T=1.8861; …_calib_eval_before.py: T=1 for
+    the uncalibrated baseline), scored on the held-out val_eval split."""
+    def make() -> TrainConfig:
+        c = (base or _unified)()
         return dataclasses.replace(
             c, model=dataclasses.replace(c.model, temperature=temperature),
             eval=EvalConfig(split='val_eval'))
@@ -95,27 +121,55 @@ def _tiny() -> TrainConfig:
                        optim=OptimConfig(warmup_iters=10, iters_per_epoch=10))
 
 
+# One preset per reference config file (25 files under
+# projects/FusionOcc/configs/) plus aliases kept from earlier rounds and
+# the beyond-reference extras.  File -> preset mapping: PARITY.md.
+_UNIFIED_WO_MASK = _wo_mask(_unified)
+
 CONFIGS: Dict[str, Callable[[], TrainConfig]] = {
-    'fusion_occ': _baseline,
-    'fusion_occ_unified': _unified,
-    'fusion_occ_wo_mask': _wo_mask,
-    'fusion_occ_wo_depth_sv': _wo_depth_sv,
+    # --- the two base recipes ---
+    'fusion_occ': _baseline,                       # fusion_occ.py
+    'fusion_occ_unified': _unified,                # ..._miou_unified.py
+    # ori_setting = baseline recipe + the hybrid evaluator
+    # (..._miou_ori_setting.py:287 OccupancyMetricHybrid)
+    'fusion_occ_miou_ori_setting': _hybrid_eval(_baseline),
+    # --- camera-mask ablation (wo_train_cam_mask) ---
+    'fusion_occ_wo_mask_ori_setting':
+        _hybrid_eval(_wo_mask()),                  # ..._wo_train_cam_mask_ori_setting.py
+    'fusion_occ_wo_mask': _wo_mask(),              # alias (baseline recipe)
+    'fusion_occ_unified_wo_mask': _UNIFIED_WO_MASK,  # ..._wo_train_cam_mask_unified.py
+    # --- depth-supervision ablation (unified recipe, …_unified_wo_DepthSV.py) ---
+    'fusion_occ_unified_wo_depth_sv': _wo_depth_sv(_unified),
+    'fusion_occ_unified_wo_depth_sv_rayiou': _rayiou(_wo_depth_sv(_unified)),
+    'fusion_occ_unified_wo_mask_wo_depth_sv':
+        _wo_depth_sv(_UNIFIED_WO_MASK),            # ..._wo_train_cam_mask_unified_wo_DepthSV.py
+    'fusion_occ_unified_wo_mask_wo_depth_sv_rayiou':
+        _rayiou(_wo_depth_sv(_UNIFIED_WO_MASK)),   # ..._wo_DepthSV_rayiou.py
+    'fusion_occ_wo_depth_sv': _wo_depth_sv(),      # alias (baseline recipe)
+    # --- distance-condition mask ablations (unified recipe) ---
     'fusion_occ_condition_C': _mask_mode('condition_C'),
-    'fusion_occ_condition_D': _mask_mode('condition_D'),
-    'fusion_occ_condition_D_prime': _mask_mode('condition_D_prime'),
-    'fusion_occ_condition_D_full': _mask_mode('condition_D_full'),
+    'fusion_occ_condition_C_20m': _mask_mode('condition_C', dist_c=20.0),
     'fusion_occ_condition_C_full': _mask_mode('condition_C_full'),
-    'fusion_occ_image_only': _image_only,
-    # eval-variant zoo (reference configs/: rayiou + calibration files)
-    'fusion_occ_rayiou': _rayiou(_baseline),
+    'fusion_occ_condition_D': _mask_mode('condition_D'),
+    'fusion_occ_condition_D_full': _mask_mode('condition_D_full'),
+    'fusion_occ_condition_D_prime': _mask_mode('condition_D_prime'),
+    # --- RayIoU protocol (fusion_occ_occ3d_rayiou_*.py) ---
+    'fusion_occ_rayiou_ori_setting': _rayiou(_baseline),
+    'fusion_occ_rayiou': _rayiou(_baseline),       # alias
     'fusion_occ_unified_rayiou': _rayiou(_unified),
-    'fusion_occ_wo_mask_rayiou': _rayiou(_wo_mask),
-    'fusion_occ_wo_depth_sv_rayiou': _rayiou(_wo_depth_sv),
-    'fusion_occ_calib_train': _calib_train,
-    # T=1.5221: the reference's NLL-fitted temperature
-    # (fusion_occ_occ3d_miou_unified_calib_eval.py:73)
+    'fusion_occ_wo_mask_rayiou_ori_setting': _rayiou(_wo_mask()),
+    'fusion_occ_wo_mask_rayiou': _rayiou(_wo_mask()),  # alias
+    'fusion_occ_unified_wo_mask_rayiou': _rayiou(_UNIFIED_WO_MASK),
+    # --- calibration (…_calib_{train,eval,eval_before}.py; fitted T:
+    # unified 1.5221, wo_mask 1.8861 — reference *_calib_eval.py:73) ---
+    'fusion_occ_calib_train': _calib_train(),
     'fusion_occ_calib_eval': _calib_eval(1.5221),
     'fusion_occ_calib_eval_before': _calib_eval(1.0),
+    'fusion_occ_wo_mask_calib_train': _calib_train(_UNIFIED_WO_MASK),
+    'fusion_occ_wo_mask_calib_eval': _calib_eval(1.8861, _UNIFIED_WO_MASK),
+    'fusion_occ_wo_mask_calib_eval_before': _calib_eval(1.0, _UNIFIED_WO_MASK),
+    # --- beyond-reference extras ---
+    'fusion_occ_image_only': _image_only,
     'tiny': _tiny,
 }
 

@@ -190,7 +190,8 @@ class NuScenesOccDataset:
             from .masks import build_training_mask
             mask_camera = build_training_mask(
                 voxel_semantics, mask_camera.astype(np.uint8),
-                cfg.mask_mode).astype(bool)
+                cfg.mask_mode,
+                dist_threshold_c=cfg.mask_dist_threshold_c).astype(bool)
 
         # points
         fused, curr_points, l2e = self._load_points(index, rng)

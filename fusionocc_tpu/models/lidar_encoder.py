@@ -24,6 +24,8 @@ import jax.numpy as jnp
 
 from ..config import GridConfig, SparseEncoderConfig
 from ..nn.layers import MaskedBatchNorm
+from ..ops.dense_conv import (conv3d_ndhwc, conv3d_zbatch, dense_from_zfold,
+                              strided_out_mask)
 from ..ops.sparse_conv import (build_strided_index, build_subm_index,
                                out_shape_strided,
                                sparse_conv1x1_apply, sparse_conv_apply,
@@ -55,6 +57,7 @@ class SubMConvBN(nn.Module):
     norm: bool = True
     act: bool = True
     tile: bool = False
+    dense: str = ''        # 'xla3d'/'zbatch': masked dense conv (dense_conv)
     fold: int = 0          # >0: zfold super rows (ops/zfold.py)
     gather: str = 'row'
     tap_chunk: int = 0     # bound gather temps (ops/sparse_conv.py)
@@ -63,6 +66,7 @@ class SubMConvBN(nn.Module):
     zwin_block: int = 128  # zwin kernel tiling (ops/pallas/zwin_conv.py)
     zwin_nwin: int = 4
     zwin_bad_frac: float = 0.125  # overflow-block recompute capacity
+    zwin_merged: bool = False     # merged-tap kernel (one stacked matmul/dx)
     remat: bool = False    # recompute gathers in backward (config.remat_conv)
     dtype: Dtype = jnp.float32
 
@@ -80,13 +84,20 @@ class SubMConvBN(nn.Module):
             cin = feats.shape[-1]
         w = self.param('kernel', nn.initializers.he_normal(),
                        (27, cin, self.features), jnp.float32)
-        if self.tile:
+        if self.dense:
+            # masked dense conv (ops/dense_conv.py): feats is the dense
+            # (B, [XYZ...], C) volume with exact zeros at inactive cells
+            # (MaskedBatchNorm re-zeroes after every conv); mask is the
+            # dense bool active set; nbr_idx is unused.
+            conv = conv3d_zbatch if self.dense == 'zbatch' else conv3d_ndhwc
+            y = maybe_ckpt(lambda f, k: conv(f, k, 1))(feats, w)
+        elif self.tile:
             y = tile_subm_conv(feats, mask, nbr_idx, w)
         elif self.fold and self.zconv == 'zwin':
             y = maybe_ckpt(lambda f, m, n, k: zwin_conv_apply(
                 f, m, n, k, self.fold, self.fold, 1,
                 block_v=self.zwin_block, n_win=self.zwin_nwin,
-                bad_frac=self.zwin_bad_frac))(
+                bad_frac=self.zwin_bad_frac, merged=self.zwin_merged))(
                 feats, mask, nbr_idx, w)
         elif self.fold and self.zconv == 'zslice':
             y = maybe_ckpt(lambda f, m, n, k: zslice_conv_apply(
@@ -111,6 +122,8 @@ class SubMConvBN(nn.Module):
                 y, bn_mask, train=train)
         elif self.fold:
             y = y * expand_lane_mask(lane_mask, self.features, y.dtype)
+        elif self.dense:
+            y = jnp.where(mask[..., None], y, 0)
         if self.act:
             y = nn.relu(y)
         return y
@@ -125,6 +138,7 @@ class SparseConvBNStride2(nn.Module):
     """
     features: int
     tile: bool = False
+    dense: str = ''        # 'xla3d'/'zbatch': masked dense conv (dense_conv)
     fold_in: int = 0       # >0: zfold super rows (ops/zfold.py)
     fold_out: int = 0
     gather: str = 'row'
@@ -134,6 +148,7 @@ class SparseConvBNStride2(nn.Module):
     zwin_block: int = 128  # zwin kernel tiling (ops/pallas/zwin_conv.py)
     zwin_nwin: int = 4
     zwin_bad_frac: float = 0.125  # overflow-block recompute capacity
+    zwin_merged: bool = False     # merged-tap kernel (one stacked matmul/dx)
     remat: bool = False    # recompute gathers in backward (config.remat_conv)
     dtype: Dtype = jnp.float32
 
@@ -149,13 +164,16 @@ class SparseConvBNStride2(nn.Module):
             cin = feats.shape[-1]
         w = self.param('kernel', nn.initializers.he_normal(),
                        (27, cin, self.features), jnp.float32)
-        if self.tile:
+        if self.dense:
+            conv = conv3d_zbatch if self.dense == 'zbatch' else conv3d_ndhwc
+            y = maybe_ckpt(lambda f, k: conv(f, k, 2))(feats, w)
+        elif self.tile:
             y = tile_strided_apply(feats, nbr_idx, w)
         elif self.fold_in and self.zconv == 'zwin':
             y = maybe_ckpt(lambda f, m, n, k: zwin_conv_apply(
                 f, m, n, k, self.fold_in, self.fold_out, 2,
                 block_v=self.zwin_block, n_win=self.zwin_nwin,
-                bad_frac=self.zwin_bad_frac))(
+                bad_frac=self.zwin_bad_frac, merged=self.zwin_merged))(
                 feats, out_mask, nbr_idx, w)
         elif self.fold_in and self.zconv == 'zslice':
             y = maybe_ckpt(lambda f, m, n, k: zslice_conv_apply(
@@ -273,6 +291,8 @@ class SparseEncoder(nn.Module):
         cur_cells = shape
         num_stages = len(cfg.encoder_channels)
         for i, blocks in enumerate(cfg.encoder_channels):
+            if i == cfg.dense_from:
+                return self._dense_tail(zf, cur_cells, i, train)
             last = i == num_stages - 1
             sshape = super_shape(cur_cells, zf.fold)
             down_cap = None if last else cfg.zfold_capacity[i + 1]
@@ -289,6 +309,7 @@ class SparseEncoder(nn.Module):
                                zwin_block=cfg.zwin_block,
                                zwin_nwin=cfg.zwin_nwin,
                                zwin_bad_frac=cfg.zwin_bad_frac,
+                               zwin_merged=cfg.zwin_merged,
                                remat=cfg.remat_conv,
                                name=f'stage{i}_subm{j}')(
                     f, zf.mask, nbr, train=train, lane_mask=zf.lane_mask)
@@ -306,6 +327,7 @@ class SparseEncoder(nn.Module):
                                         zwin_block=cfg.zwin_block,
                                         zwin_nwin=cfg.zwin_nwin,
                                         zwin_bad_frac=cfg.zwin_bad_frac,
+                                        zwin_merged=cfg.zwin_merged,
                                         remat=cfg.remat_conv,
                                         name=f'stage{i}_down')(
                     f, om, snbr, train=train, out_lane_mask=out_lane)
@@ -330,6 +352,55 @@ class SparseEncoder(nn.Module):
         dense = zfold_to_dense(zf._replace(feats=f), cur_cells,
                                cfg.output_channels)
         return jnp.transpose(dense, (0, 3, 2, 1, 4))
+
+    def _dense_tail(self, zf: ZFoldVoxels, cells, start: int, train: bool):
+        """Masked dense convs for stages >= cfg.dense_from.
+
+        By stages 2-3 the grids ([400,400,32] / [200,200,16] cells at full
+        size) are small enough that a plain dense conv over the densified
+        volume beats the sparse selection machinery AND needs no index
+        tables at all (ops/dense_conv.py rationale).  Same parameter tree
+        as the sparse stages (module names, (27, Cin, Cout) kernels), so
+        checkpoints remain backend-interchangeable; equivalence pinned by
+        tests/test_dense_tail.py.  Reference semantics: the same spconv
+        SubM/strided stack (fusionocc/lidar_encoder.py:125-220).
+        """
+        cfg = self.cfg
+        mode = cfg.dense_mode
+        layout = 'bzxyc' if mode == 'zbatch' else 'bxyzc'
+        cin = zf.feats.shape[-1] // zf.fold
+        x, mask = dense_from_zfold(zf, cells, cin, layout)
+        num_stages = len(cfg.encoder_channels)
+        for i in range(start, num_stages):
+            blocks = cfg.encoder_channels[i]
+            last = i == num_stages - 1
+            n_subm = len(blocks) - 1 if not last else len(blocks)
+            for j in range(n_subm):
+                x = SubMConvBN(blocks[j], dense=mode, dtype=self.dtype,
+                               remat=cfg.remat_conv,
+                               name=f'stage{i}_subm{j}')(
+                    x, mask, None, train=train)
+            if not last:
+                mask = strided_out_mask(mask, 0)
+                x = SparseConvBNStride2(blocks[-1], dense=mode,
+                                        dtype=self.dtype,
+                                        remat=cfg.remat_conv,
+                                        name=f'stage{i}_down')(
+                    x, mask, None, train=train)
+            if cfg.stop_after == f'stage{i}':
+                return x
+
+        # conv_out: 1x1 SubM, conv only (lidar_encoder.py:80-89); x is
+        # exact zero at inactive cells, so the linear map needs no remask
+        w_out = self.param('conv_out_kernel', nn.initializers.he_normal(),
+                           (x.shape[-1], cfg.output_channels), jnp.float32)
+        y = jnp.einsum('...c,cd->...d', x, w_out.astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        if cfg.stop_after == 'conv_out':
+            return y
+        # -> (B, Z, Y, X, C), matching the sparse paths' output layout
+        perm = (0, 1, 3, 2, 4) if layout == 'bzxyc' else (0, 3, 2, 1, 4)
+        return jnp.transpose(y, perm)
 
     def _tile_stages(self, feats, sp: SparseVoxels, shape, train: bool):
         """Block-sparse tile backend (ops/tile_sparse.py): stages as dense

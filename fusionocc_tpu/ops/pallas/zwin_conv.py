@@ -75,6 +75,57 @@ def z_bands(f_in: int, f_out: int, stride: int) -> List[Tuple[int, int]]:
     return bands
 
 
+def _make_kernel_merged(taps, n_win: int, cin: int, block_v: int,
+                        win_rows: int, dtype):
+    """Merged-tap kernel body: per dx ONE stacked selection matmul + ONE
+    banded weight matmul, instead of 9 of each.
+
+    Round-4 measurement (BENCH.md): the tap-by-tap kernel is bound by the
+    fixed per-matmul cost of ~27 taps x 2 small MXU ops per block (~1.3 us
+    per tap), not by window FLOPs.  Stacking the one-hots of the taps that
+    share a window (same dx) along the sublane axis turns the selection
+    into one (n_t*Vb, win) @ (win, l_in) MXU op; the per-tap z-band slices
+    are then STATIC sublane/lane slices of the result, lane-concatenated
+    into one (Vb, sum nzi*cin) operand for a single banded weight matmul
+    per dx.  Selection now reads full l_in for the thin taps (the band
+    zeros ride the MXU), trading ~2x selection FLOPs for ~9x fewer ops.
+    """
+    k = n_win
+
+    def kernel(blk_ref, rel_ref, *refs):
+        win_refs, w_ref, o_ref = refs[:3 * k], refs[3 * k], refs[3 * k + 1]
+        del blk_ref  # only used by the index maps
+        rel = rel_ref[0]                                  # (Vb, 27) int32
+        l_out = o_ref.shape[-1]
+        acc = jnp.zeros((block_v, l_out), jnp.float32)
+        w_lo = 0
+        for dx in range(3):
+            taps_dx = [tp for tp in taps if tp[1] == dx]
+            if not taps_dx:
+                continue
+            win = jnp.concatenate(
+                [win_refs[dx * k + j][0] for j in range(k)], axis=0)
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (block_v, win_rows), 1)
+            oh = jnp.concatenate(
+                [(rel[:, t:t + 1] == iota).astype(dtype)
+                 for t, _, _, _, _ in taps_dx], axis=0)   # (n_t*Vb, win)
+            sel = jnp.dot(oh, win,
+                          preferred_element_type=jnp.float32).astype(dtype)
+            g = jnp.concatenate(
+                [sel[i * block_v:(i + 1) * block_v,
+                     zi_lo * cin:(zi_lo + nzi) * cin]
+                 for i, (_, _, zi_lo, nzi, _) in enumerate(taps_dx)],
+                axis=1)                                   # (Vb, w_dx)
+            w_dx = g.shape[1]
+            acc = acc + jnp.dot(g, w_ref[w_lo:w_lo + w_dx, :],
+                                preferred_element_type=jnp.float32)
+            w_lo += w_dx
+        o_ref[0] = acc.astype(o_ref.dtype)
+
+    return kernel
+
+
 def _make_kernel(taps, n_win: int, cin: int, block_v: int, win_rows: int,
                  dtype):
     """Build the kernel body with static per-tap lane slices baked in.
@@ -142,7 +193,8 @@ def zwin_conv_apply(feats: jnp.ndarray, mask_out: jnp.ndarray,
                     nbr_idx: jnp.ndarray, weight: jnp.ndarray,
                     f_in: int, f_out: int, stride: int,
                     block_v: int = 128, n_win: int = 4,
-                    bad_frac: float = 0.125) -> jnp.ndarray:
+                    bad_frac: float = 0.125,
+                    merged: bool = False) -> jnp.ndarray:
     """Drop-in replacement for zband_conv_apply (same contract/result).
 
     feats: (B, S_in, f_in*Cin) zi-major lanes; nbr_idx: (B, S_out, 27)
@@ -164,18 +216,18 @@ def zwin_conv_apply(feats: jnp.ndarray, mask_out: jnp.ndarray,
         return zband_conv_apply(feats, mask_out, nbr_idx, weight,
                                 f_in, f_out, stride)
     return _zwin_custom(feats, mask_out, nbr_idx, weight, f_in, f_out,
-                        stride, block_v, n_win, bad_frac)
+                        stride, block_v, n_win, bad_frac, merged)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def _zwin_custom(feats, mask_out, nbr_idx, weight, f_in, f_out, stride,
-                 block_v, n_win, bad_frac):
+                 block_v, n_win, bad_frac, merged):
     return _zwin_fwd_impl(feats, mask_out, nbr_idx, weight, f_in, f_out,
-                          stride, block_v, n_win, bad_frac)
+                          stride, block_v, n_win, bad_frac, merged)
 
 
 def _zwin_fwd_impl(feats, mask_out, nbr_idx, weight, f_in, f_out, stride,
-                   block_v, n_win, bad_frac):
+                   block_v, n_win, bad_frac, merged=False):
     b, s_in, l_in = feats.shape
     cin, cout = weight.shape[1], weight.shape[2]
     l_out = f_out * cout
@@ -233,7 +285,8 @@ def _zwin_fwd_impl(feats, mask_out, nbr_idx, weight, f_in, f_out, stride,
         out_specs=pl.BlockSpec((1, block_v, l_out),
                                lambda bi, i, blk_ref: (bi, i, 0)),
     )
-    kernel = _make_kernel(taps, n_win, cin, block_v, win_rows, dtype)
+    make = _make_kernel_merged if merged else _make_kernel
+    kernel = make(taps, n_win, cin, block_v, win_rows, dtype)
 
     # compaction order: bad block ids first (index order), then good ids
     n_bad = bad_blk.sum()
@@ -279,13 +332,14 @@ def _zwin_fwd_impl(feats, mask_out, nbr_idx, weight, f_in, f_out, stride,
 
 
 def _zwin_fwd(feats, mask_out, nbr_idx, weight, f_in, f_out, stride,
-              block_v, n_win, bad_frac):
+              block_v, n_win, bad_frac, merged):
     out = _zwin_fwd_impl(feats, mask_out, nbr_idx, weight, f_in, f_out,
-                         stride, block_v, n_win, bad_frac)
+                         stride, block_v, n_win, bad_frac, merged)
     return out, (feats, mask_out, nbr_idx, weight)
 
 
-def _zwin_bwd(f_in, f_out, stride, block_v, n_win, bad_frac, res, g):
+def _zwin_bwd(f_in, f_out, stride, block_v, n_win, bad_frac, merged,
+              res, g):
     """Backward = VJP of the numerically identical XLA zband path."""
     feats, mask_out, nbr_idx, weight = res
     _, vjp = jax.vjp(

@@ -53,10 +53,12 @@ def test_zwin_matches_zband_subm():
     nbr, _ = stage_indices_table(as_sparse(zv), sshape, None)
     w = jnp.asarray(rng.randn(27, 3, 5), jnp.float32) * 0.1
     ref = zband_conv_apply(zv.feats, zv.mask, nbr, w, 8, 8, 1)
-    got = zwin_conv_apply(zv.feats, zv.mask, nbr, w, 8, 8, 1,
-                          block_v=8, n_win=4)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-5, atol=1e-6)
+    for merged in (False, True):
+        got = zwin_conv_apply(zv.feats, zv.mask, nbr, w, 8, 8, 1,
+                              block_v=8, n_win=4, merged=merged)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f'merged={merged}')
 
 
 def test_zwin_matches_zband_strided():
@@ -68,10 +70,12 @@ def test_zwin_matches_zband_strided():
         as_sparse(zv), sshape, 64)
     w = jnp.asarray(rng.randn(27, 3, 4), jnp.float32) * 0.1
     ref = zband_conv_apply(zv.feats, om, snbr, w, 8, 8, 2)
-    got = zwin_conv_apply(zv.feats, om, snbr, w, 8, 8, 2,
-                          block_v=8, n_win=4)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-5, atol=1e-6)
+    for merged in (False, True):
+        got = zwin_conv_apply(zv.feats, om, snbr, w, 8, 8, 2,
+                              block_v=8, n_win=4, merged=merged)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f'merged={merged}')
 
 
 def test_zwin_overflow_patch_path_exact():

@@ -39,18 +39,30 @@ def main():
     # all zwin variants now use the block-granular overflow patch
     # (bad blocks recomputed by compacted zband; global fallback only past
     # bad_frac) — span data: tools/check_zwin_spans.py.
+    # Round-5 sweep: larger blocks at HELD usable span.  Round 4 showed the
+    # kernel is bound by fixed per-op cost (~27 taps x 2 matmuls per block),
+    # not window FLOPs; the round-4 b256 row used n2 (256-row usable span,
+    # overflow-dominated).  Usable span = (n_win-1)*block_v: b256n4 and
+    # b512n3 match/beat b128n6's 640 rows while halving/quartering the
+    # block count (fixed cost per conv ~ blocks x taps).
     variants = [
-        ('zband (round-3 default)', dict(backend='zfold', zconv='zband')),
-        ('zwin b128 n4 bf.125', dict(backend='zfold', zconv='zwin')),
-        ('zwin b128 n3 bf.25', dict(backend='zfold', zconv='zwin',
-                                    zwin_nwin=3, zwin_bad_frac=0.25)),
         ('zwin b128 n6 bf.0625', dict(backend='zfold', zconv='zwin',
                                       zwin_nwin=6, zwin_bad_frac=0.0625)),
-        ('zwin b256 n2 bf.25', dict(backend='zfold', zconv='zwin',
-                                    zwin_block=256, zwin_nwin=2,
-                                    zwin_bad_frac=0.25)),
-        ('zwin b128 n2 bf.5', dict(backend='zfold', zconv='zwin',
-                                   zwin_nwin=2, zwin_bad_frac=0.5)),
+        ('zwin b256 n4 bf.0625', dict(backend='zfold', zconv='zwin',
+                                      zwin_block=256, zwin_nwin=4,
+                                      zwin_bad_frac=0.0625)),
+        ('zwin b256 n3 bf.125', dict(backend='zfold', zconv='zwin',
+                                     zwin_block=256, zwin_nwin=3,
+                                     zwin_bad_frac=0.125)),
+        ('zwin b512 n3 bf.0625', dict(backend='zfold', zconv='zwin',
+                                      zwin_block=512, zwin_nwin=3,
+                                      zwin_bad_frac=0.0625)),
+        ('zwin b512 n2 bf.125', dict(backend='zfold', zconv='zwin',
+                                     zwin_block=512, zwin_nwin=2,
+                                     zwin_bad_frac=0.125)),
+        ('zwin b256 n6 bf.03125', dict(backend='zfold', zconv='zwin',
+                                       zwin_block=256, zwin_nwin=6,
+                                       zwin_bad_frac=0.03125)),
     ]
     enc_i = SparseEncoder(dataclasses.replace(lcfg, **variants[0][1]),
                           cfg.grid, dtype=cfg.dtype)

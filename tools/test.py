@@ -83,7 +83,9 @@ def main():
         preset = get_config(args.config)
         model_cfg = preset.model
         eval_cfg = preset.eval
-        if eval_cfg.metric == 'rayiou':
+        if eval_cfg.metric in ('rayiou', 'hybrid'):
+            # 'hybrid' = the ori_setting evaluator (OccupancyMetricHybrid):
+            # masked mIoU AND RayIoU side by side
             args.rayiou = True
         if args.ann_file and eval_cfg.split != 'val':
             # the calib variants evaluate on their own split
