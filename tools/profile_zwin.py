@@ -45,24 +45,27 @@ def main():
     # overflow-dominated).  Usable span = (n_win-1)*block_v: b256n4 and
     # b512n3 match/beat b128n6's 640 rows while halving/quartering the
     # block count (fixed cost per conv ~ blocks x taps).
+    base = dict(backend='zfold', zconv='zwin', zwin_nwin=6,
+                zwin_bad_frac=0.0625)
     variants = [
-        ('zwin b128 n6 bf.0625', dict(backend='zfold', zconv='zwin',
-                                      zwin_nwin=6, zwin_bad_frac=0.0625)),
-        ('zwin b256 n4 bf.0625', dict(backend='zfold', zconv='zwin',
-                                      zwin_block=256, zwin_nwin=4,
-                                      zwin_bad_frac=0.0625)),
-        ('zwin b256 n3 bf.125', dict(backend='zfold', zconv='zwin',
-                                     zwin_block=256, zwin_nwin=3,
-                                     zwin_bad_frac=0.125)),
-        ('zwin b512 n3 bf.0625', dict(backend='zfold', zconv='zwin',
-                                      zwin_block=512, zwin_nwin=3,
-                                      zwin_bad_frac=0.0625)),
-        ('zwin b512 n2 bf.125', dict(backend='zfold', zconv='zwin',
-                                     zwin_block=512, zwin_nwin=2,
-                                     zwin_bad_frac=0.125)),
-        ('zwin b256 n6 bf.03125', dict(backend='zfold', zconv='zwin',
-                                       zwin_block=256, zwin_nwin=6,
-                                       zwin_bad_frac=0.03125)),
+        ('zwin b128 n6 bf.0625', dict(base)),
+        ('zwin b256 n4 bf.0625', dict(base, zwin_block=256, zwin_nwin=4)),
+        ('zwin b512 n3 bf.0625', dict(base, zwin_block=512, zwin_nwin=3)),
+        # merged-tap kernel body (round-5: one stacked selection matmul +
+        # one banded weight matmul per dx instead of 9 of each)
+        ('zwin b128 n6 MERGED', dict(base, zwin_merged=True)),
+        ('zwin b256 n4 MERGED', dict(base, zwin_block=256, zwin_nwin=4,
+                                     zwin_merged=True)),
+        ('zwin b512 n3 MERGED', dict(base, zwin_block=512, zwin_nwin=3,
+                                     zwin_merged=True)),
+        # dense-conv tail: stages >= dense_from as masked dense convs
+        ('zwin + dense_from=3 zbatch', dict(base, dense_from=3)),
+        ('zwin + dense_from=2 zbatch', dict(base, dense_from=2)),
+        ('zwin + dense_from=2 xla3d', dict(base, dense_from=2,
+                                           dense_mode='xla3d')),
+        ('zwin + dense_from=1 zbatch', dict(base, dense_from=1)),
+        ('MERGED + dense_from=2 zbatch', dict(base, zwin_merged=True,
+                                              dense_from=2)),
     ]
     enc_i = SparseEncoder(dataclasses.replace(lcfg, **variants[0][1]),
                           cfg.grid, dtype=cfg.dtype)
