@@ -187,6 +187,13 @@ class SparseEncoderConfig:
     # bisection shows the kernel is per-matmul-cost bound, not FLOP bound;
     # ops/pallas/zwin_conv.py::_make_kernel_merged).
     zwin_merged: bool = False
+    # Fuse the eval-mode BN affine + ReLU + lane mask into the zwin
+    # kernel epilogue and share one window plan across a stage's convs
+    # (ops/pallas/zwin_conv.py::zwin_conv_infer).  Round-5 micro showed
+    # the in-program conv cost is 2-3x the isolated kernel cost — the
+    # per-conv XLA glue, not the matmuls, is the gap.  Training always
+    # uses the unfused path (batch stats + custom VJP).
+    zwin_fuse: bool = True
     # kernel columns per zslice scan step (divisor of 9): bounds live
     # window temps at col_chunk * (B, S, 3*F*Cin)
     col_chunk: int = 3
@@ -196,7 +203,11 @@ class SparseEncoderConfig:
     # plain dense conv beats the sparse selection machinery and needs no
     # index tables.  4 = never (all stages sparse).  Only meaningful for
     # backend='zfold'.
-    dense_from: int = 4
+    # Round-5 on-chip A/B (results/round5_zwin.log): dense_from=3 beats
+    # all-sparse by 10 ms e2e (303.6 -> 293.5 ms) while dense_from=2
+    # LOSES (332.8 — stage-2 dense bandwidth exceeds its sparse cost),
+    # so the crossover default is 3.
+    dense_from: int = 3
     # Dense conv formulation: 'zbatch' folds z into the batch axis (3
     # z-shifted 2D convs at true cell FLOPs); 'xla3d' one NDHWC conv call.
     dense_mode: str = 'zbatch'

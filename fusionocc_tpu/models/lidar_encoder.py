@@ -31,7 +31,8 @@ from ..ops.sparse_conv import (build_strided_index, build_subm_index,
                                sparse_conv1x1_apply, sparse_conv_apply,
                                sparse_conv_apply_block,
                                sparse_to_dense, stage_indices_table)
-from ..ops.pallas.zwin_conv import zwin_conv_apply
+from ..ops.pallas.zwin_conv import (zwin_conv_apply, zwin_conv_infer,
+                                    zwin_plan)
 from ..ops.zfold import (ZFoldVoxels, as_sparse, expand_lane_mask,
                          expand_weight, strided_lane_mask, super_shape,
                          zband_conv_apply, zfold_regroup, zfold_to_dense,
@@ -67,12 +68,13 @@ class SubMConvBN(nn.Module):
     zwin_nwin: int = 4
     zwin_bad_frac: float = 0.125  # overflow-block recompute capacity
     zwin_merged: bool = False     # merged-tap kernel (one stacked matmul/dx)
+    zwin_fuse: bool = True  # fuse eval BN+ReLU+lane mask into the kernel
     remat: bool = False    # recompute gathers in backward (config.remat_conv)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats, mask, nbr_idx, train: bool = False,
-                 lane_mask=None):
+                 lane_mask=None, zplan=None):
         maybe_ckpt = jax.checkpoint if self.remat else (lambda f: f)
         # z-folded feats carry ts*C / fold*C lanes; the param stays
         # (27, C, Cout) — backend-interchangeable checkpoints
@@ -94,6 +96,24 @@ class SubMConvBN(nn.Module):
         elif self.tile:
             y = tile_subm_conv(feats, mask, nbr_idx, w)
         elif self.fold and self.zconv == 'zwin':
+            if not train and self.norm and self.zwin_fuse:
+                # eval serving: BN affine + ReLU + lane mask fused into
+                # the kernel epilogue; the per-stage plan (window bases,
+                # overflow compaction) is shared across the stage's convs
+                inv, bshift = MaskedBatchNorm(
+                    fold=self.fold, dtype=self.dtype,
+                    channels=self.features)(None, None)
+                y = zwin_conv_infer(
+                    feats, mask, nbr_idx, w, self.fold, self.fold, 1,
+                    block_v=self.zwin_block, n_win=self.zwin_nwin,
+                    bad_frac=self.zwin_bad_frac, merged=self.zwin_merged,
+                    plan=zplan,
+                    affine=(jnp.tile(inv, self.fold),
+                            jnp.tile(bshift, self.fold)),
+                    act=self.act,
+                    lane_exp=expand_lane_mask(lane_mask, self.features,
+                                              self.dtype))
+                return y
             y = maybe_ckpt(lambda f, m, n, k: zwin_conv_apply(
                 f, m, n, k, self.fold, self.fold, 1,
                 block_v=self.zwin_block, n_win=self.zwin_nwin,
@@ -149,6 +169,7 @@ class SparseConvBNStride2(nn.Module):
     zwin_nwin: int = 4
     zwin_bad_frac: float = 0.125  # overflow-block recompute capacity
     zwin_merged: bool = False     # merged-tap kernel (one stacked matmul/dx)
+    zwin_fuse: bool = True  # fuse eval BN+ReLU+lane mask into the kernel
     remat: bool = False    # recompute gathers in backward (config.remat_conv)
     dtype: Dtype = jnp.float32
 
@@ -170,6 +191,20 @@ class SparseConvBNStride2(nn.Module):
         elif self.tile:
             y = tile_strided_apply(feats, nbr_idx, w)
         elif self.fold_in and self.zconv == 'zwin':
+            if not train and self.zwin_fuse:
+                inv, bshift = MaskedBatchNorm(
+                    fold=self.fold_out, dtype=self.dtype,
+                    channels=self.features)(None, None)
+                return zwin_conv_infer(
+                    feats, out_mask, nbr_idx, w, self.fold_in,
+                    self.fold_out, 2,
+                    block_v=self.zwin_block, n_win=self.zwin_nwin,
+                    bad_frac=self.zwin_bad_frac, merged=self.zwin_merged,
+                    affine=(jnp.tile(inv, self.fold_out),
+                            jnp.tile(bshift, self.fold_out)),
+                    act=True,
+                    lane_exp=expand_lane_mask(out_lane_mask, self.features,
+                                              self.dtype))
             y = maybe_ckpt(lambda f, m, n, k: zwin_conv_apply(
                 f, m, n, k, self.fold_in, self.fold_out, 2,
                 block_v=self.zwin_block, n_win=self.zwin_nwin,
@@ -302,6 +337,16 @@ class SparseEncoder(nn.Module):
                 return nbr
             n_subm = len(blocks) - 1 if not last else len(blocks)
             f = zf.feats
+            # the stage's SubM convs share one neighbor map: precompute
+            # the zwin window plan once (eval serving only — training
+            # routes through zwin_conv_apply's custom VJP)
+            s_cap = zf.feats.shape[1]
+            zplan = None
+            if (not train and cfg.zconv == 'zwin' and cfg.zwin_fuse
+                    and nbr.shape[1] % cfg.zwin_block == 0
+                    and s_cap >= cfg.zwin_block):
+                zplan = zwin_plan(nbr, s_cap, cfg.zwin_block,
+                                  cfg.zwin_nwin, cfg.zwin_bad_frac)
             for j in range(n_subm):
                 f = SubMConvBN(blocks[j], fold=zf.fold, dtype=self.dtype,
                                tap_chunk=cfg.tap_chunk, zconv=cfg.zconv,
@@ -310,9 +355,11 @@ class SparseEncoder(nn.Module):
                                zwin_nwin=cfg.zwin_nwin,
                                zwin_bad_frac=cfg.zwin_bad_frac,
                                zwin_merged=cfg.zwin_merged,
+                               zwin_fuse=cfg.zwin_fuse,
                                remat=cfg.remat_conv,
                                name=f'stage{i}_subm{j}')(
-                    f, zf.mask, nbr, train=train, lane_mask=zf.lane_mask)
+                    f, zf.mask, nbr, train=train, lane_mask=zf.lane_mask,
+                    zplan=zplan)
             if not last:
                 (oc, okeys, om, snbr), sshape_out = strided
                 out_cells = out_shape_strided(cur_cells)
@@ -328,6 +375,7 @@ class SparseEncoder(nn.Module):
                                         zwin_nwin=cfg.zwin_nwin,
                                         zwin_bad_frac=cfg.zwin_bad_frac,
                                         zwin_merged=cfg.zwin_merged,
+                                        zwin_fuse=cfg.zwin_fuse,
                                         remat=cfg.remat_conv,
                                         name=f'stage{i}_down')(
                     f, om, snbr, train=train, out_lane_mask=out_lane)

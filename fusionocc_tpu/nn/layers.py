@@ -59,10 +59,27 @@ class MaskedBatchNorm(nn.Module):
     momentum: float = 0.99
     epsilon: float = 1e-3
     fold: int = 0           # >0: zfold lane layout (..., fold*C)
+    channels: int = 0       # required only for the x=None affine query
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, train: bool = False):
+        if x is None:
+            # affine-parameter query (fused serving epilogue,
+            # ops/pallas/zwin_conv.py): define the SAME variables in the
+            # SAME order as the full path, return (inv, bias_shift) with
+            # eval BN == y = x * inv + bias_shift
+            C = self.channels
+            ra_mean = self.variable('batch_stats', 'mean',
+                                    lambda: jnp.zeros((C,), jnp.float32))
+            ra_var = self.variable('batch_stats', 'var',
+                                   lambda: jnp.ones((C,), jnp.float32))
+            scale = self.param('scale', nn.initializers.ones, (C,),
+                               jnp.float32)
+            bias = self.param('bias', nn.initializers.zeros, (C,),
+                              jnp.float32)
+            inv = jax.lax.rsqrt(ra_var.value + self.epsilon) * scale
+            return inv, bias - ra_mean.value * inv
         folded = self.fold > 0 or x.ndim == mask.ndim + 2
         if self.fold > 0:
             ts = self.fold

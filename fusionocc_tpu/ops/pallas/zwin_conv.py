@@ -42,7 +42,7 @@ the identical code path (tests/test_zwin.py).
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+from typing import List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -73,6 +73,22 @@ def z_bands(f_in: int, f_out: int, stride: int) -> List[Tuple[int, int]]:
         else:
             bands.append((0, 0))
     return bands
+
+
+def _epilogue_in_kernel(acc, refs, act: bool, out_dtype):
+    """Fused eval epilogue: BN affine + ReLU + lane mask, VMEM-resident.
+
+    refs = (inv_ref (1, L_out) f32, bias_ref (1, L_out) f32,
+    lane_ref (1, Vb, L_out)).  Saves the per-conv XLA elementwise pass
+    over the (B, S, L_out) fp32 BN intermediate (round-5 micro: the
+    in-program conv cost is ~2-3x the isolated kernel cost — the glue,
+    not the matmuls, is the gap)."""
+    inv_ref, bias_ref, lane_ref = refs
+    y = acc * inv_ref[:] + bias_ref[:]          # (Vb, L) * (1, L)
+    if act:
+        y = jnp.maximum(y, 0.0)
+    y = y * lane_ref[0].astype(jnp.float32)
+    return y.astype(out_dtype)
 
 
 def _make_kernel_merged(taps, n_win: int, cin: int, block_v: int,
@@ -127,15 +143,18 @@ def _make_kernel_merged(taps, n_win: int, cin: int, block_v: int,
 
 
 def _make_kernel(taps, n_win: int, cin: int, block_v: int, win_rows: int,
-                 dtype):
+                 dtype, epi: bool = False, act: bool = True):
     """Build the kernel body with static per-tap lane slices baked in.
 
-    taps: list of (tap_idx, dx, zi_lo, nzi, w_row_offset).
+    taps: list of (tap_idx, dx, zi_lo, nzi, w_row_offset).  With ``epi``
+    three extra refs (inv, bias, lane) follow the weight ref and the BN
+    affine + ReLU + lane mask run in VMEM (_epilogue_in_kernel).
     """
     k = n_win
 
     def kernel(blk_ref, rel_ref, *refs):
-        win_refs, w_ref, o_ref = refs[:3 * k], refs[3 * k], refs[3 * k + 1]
+        win_refs, w_ref = refs[:3 * k], refs[3 * k]
+        o_ref = refs[-1]
         del blk_ref  # only used by the index maps
         rel = rel_ref[0]                                  # (Vb, 27) int32
         iota = jax.lax.broadcasted_iota(jnp.int32, (block_v, win_rows), 1)
@@ -151,7 +170,11 @@ def _make_kernel(taps, n_win: int, cin: int, block_v: int, win_rows: int,
             wk = w_ref[w_off:w_off + nzi * cin, :]
             acc = acc + jnp.dot(rows, wk,
                                 preferred_element_type=jnp.float32)
-        o_ref[0] = acc.astype(o_ref.dtype)
+        if epi:
+            o_ref[0] = _epilogue_in_kernel(acc, refs[3 * k + 1:3 * k + 4],
+                                           act, o_ref.dtype)
+        else:
+            o_ref[0] = acc.astype(o_ref.dtype)
 
     return kernel
 
@@ -226,8 +249,47 @@ def _zwin_custom(feats, mask_out, nbr_idx, weight, f_in, f_out, stride,
                           stride, block_v, n_win, bad_frac, merged)
 
 
-def _zwin_fwd_impl(feats, mask_out, nbr_idx, weight, f_in, f_out, stride,
-                   block_v, n_win, bad_frac, merged=False):
+class ZwinPlan(NamedTuple):
+    """Per-neighbor-map precompute, shared by every conv on that map.
+
+    A stage's 2-3 SubM convs use the SAME neighbor map, so the window
+    bases / rel offsets / overflow compaction need computing once per
+    stage, not once per conv (round-5: the per-conv XLA glue, not the
+    kernel matmuls, dominates the in-program cost)."""
+    blk: jnp.ndarray       # (B, nb, 3) window base blocks
+    rel: jnp.ndarray       # (B, S_out, 27) in-window offsets
+    bad_ids: jnp.ndarray   # (B, n_bad_cap) compacted bad-block ids
+    is_bad: jnp.ndarray    # (B, n_bad_cap) bool
+    n_bad: jnp.ndarray     # () total bad blocks
+    block_v: int
+    n_win: int
+
+
+def zwin_plan(nbr_idx: jnp.ndarray, s_in: int, block_v: int, n_win: int,
+              bad_frac: float) -> ZwinPlan:
+    """Window bases + overflow compaction for one neighbor map."""
+    b = nbr_idx.shape[0]
+    nb = nbr_idx.shape[1] // block_v
+    blk, rel, bad_blk = _prepare(nbr_idx, s_in, block_v, n_win)
+    n_bad_cap = max(1, min(nb, int(-(-nb * bad_frac // 1))))
+    # compaction order: bad block ids first (index order), then good ids
+    n_bad = bad_blk.sum()
+    iota_nb = jnp.arange(nb, dtype=jnp.int32)[None]
+    order = jnp.argsort(jnp.where(bad_blk, iota_nb, nb + iota_nb), axis=1)
+    bad_ids = order[:, :n_bad_cap]                       # (B, nbc)
+    is_bad = jnp.take_along_axis(bad_blk, bad_ids, axis=1)
+    return ZwinPlan(blk.astype(jnp.int32), rel, bad_ids.astype(jnp.int32),
+                    is_bad, n_bad, block_v, n_win)
+
+
+def _zwin_run(feats, mask_out, nbr_idx, weight, f_in, f_out, stride,
+              block_v, n_win, bad_frac, merged, plan=None, epilogue=None):
+    """Shared zwin implementation.
+
+    epilogue: None (raw conv, train path) or (inv_b, bias_b, lane_exp,
+    act) — BN affine (L_out,) fp32 vectors + (B, S_out, L_out) lane
+    multiplier fused into the kernel (eval serving path).
+    """
     b, s_in, l_in = feats.shape
     cin, cout = weight.shape[1], weight.shape[2]
     l_out = f_out * cout
@@ -252,20 +314,22 @@ def _zwin_fwd_impl(feats, mask_out, nbr_idx, weight, f_in, f_out, stride,
         w_off += nzi * cin
     w_cat = jnp.concatenate(w_slices, axis=0)            # (w_off, L_out)
 
-    blk, rel, bad_blk = _prepare(nbr_idx, s_in, block_v, n_win)
+    if plan is None:
+        plan = zwin_plan(nbr_idx, s_in, block_v, n_win, bad_frac)
+    blk, rel = plan.blk, plan.rel
+    bad_ids, is_bad, n_bad = plan.bad_ids, plan.is_bad, plan.n_bad
+    n_bad_cap = bad_ids.shape[1]
     n_pad_blocks = -(-s_in // block_v) + n_win
     pad_rows = n_pad_blocks * block_v - s_in
     feats_pad = jnp.concatenate(
         [feats, jnp.zeros((b, pad_rows, l_in), dtype)], axis=1)
 
-    # Block-granular fallback capacity: the span tail (x-slab boundary
-    # crossings, tools/check_zwin_spans.py) makes SOME blocks exceed any
-    # reasonable static window on every real cloud, so a whole-layer
-    # fallback would always fire.  Instead the kernel runs everywhere
-    # (out-of-window taps contribute zero via the rel sentinel) and the
-    # few bad blocks are recomputed exactly by zband on a compacted
-    # (n_bad_cap * Vb)-row problem, then scattered over the kernel output.
-    n_bad_cap = max(1, min(nb, int(-(-nb * bad_frac // 1))))
+    epi = epilogue is not None
+    if epi:
+        inv_b, bias_b, lane_exp, act = epilogue
+        inv_b = inv_b.reshape(1, l_out).astype(jnp.float32)
+        bias_b = bias_b.reshape(1, l_out).astype(jnp.float32)
+        lane_exp = lane_exp.astype(dtype)
 
     def win_spec(dx, j):
         return pl.BlockSpec(
@@ -273,6 +337,13 @@ def _zwin_fwd_impl(feats, mask_out, nbr_idx, weight, f_in, f_out, stride,
             lambda bi, i, blk_ref, dx=dx, j=j:
                 (bi, blk_ref[bi, i, dx] + j, 0))
 
+    epi_specs = []
+    if epi:
+        epi_specs = [
+            pl.BlockSpec((1, l_out), lambda bi, i, blk_ref: (0, 0)),
+            pl.BlockSpec((1, l_out), lambda bi, i, blk_ref: (0, 0)),
+            pl.BlockSpec((1, block_v, l_out),
+                         lambda bi, i, blk_ref: (bi, i, 0))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, nb),
@@ -281,29 +352,41 @@ def _zwin_fwd_impl(feats, mask_out, nbr_idx, weight, f_in, f_out, stride,
                           lambda bi, i, blk_ref: (bi, i, 0))]
             + [win_spec(dx, j) for dx in range(3) for j in range(n_win)]
             + [pl.BlockSpec(w_cat.shape,
-                            lambda bi, i, blk_ref: (0, 0))]),
+                            lambda bi, i, blk_ref: (0, 0))]
+            + epi_specs),
         out_specs=pl.BlockSpec((1, block_v, l_out),
                                lambda bi, i, blk_ref: (bi, i, 0)),
     )
-    make = _make_kernel_merged if merged else _make_kernel
-    kernel = make(taps, n_win, cin, block_v, win_rows, dtype)
+    if merged and not epi:
+        kernel = _make_kernel_merged(taps, n_win, cin, block_v, win_rows,
+                                     dtype)
+    else:
+        kernel = _make_kernel(taps, n_win, cin, block_v, win_rows, dtype,
+                              epi=epi, act=epi and act)
 
-    # compaction order: bad block ids first (index order), then good ids
-    n_bad = bad_blk.sum()
-    iota_nb = jnp.arange(nb, dtype=jnp.int32)[None]
-    order = jnp.argsort(jnp.where(bad_blk, iota_nb, nb + iota_nb), axis=1)
-    bad_ids = order[:, :n_bad_cap]                       # (B, nbc)
-    is_bad = jnp.take_along_axis(bad_blk, bad_ids, axis=1)
+    def finish(y_rows, row_mask, rows_nbr=None, lane_rows=None):
+        """XLA-side epilogue for the zband-computed rows."""
+        if not epi:
+            return y_rows
+        y = y_rows.astype(jnp.float32) * inv_b[None] + bias_b[None]
+        if act:
+            y = jnp.maximum(y, 0.0)
+        if lane_rows is not None:
+            y = y * lane_rows.astype(jnp.float32)
+        return jnp.where(row_mask[..., None], y, 0.0).astype(dtype)
 
     def pallas_then_patch(operands):
         feats_pad, rel, blk, w_cat = operands
         wins = [feats_pad] * (3 * n_win)
+        extra = (blk, rel, *wins, w_cat)
+        if epi:
+            extra = extra + (inv_b, bias_b, lane_exp)
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((b, s_out, l_out), dtype),
             interpret=_use_interpret(),
-        )(blk, rel, *wins, w_cat)
+        )(*extra)
         # exact recompute of the (few) bad blocks: zband on the compacted
         # (n_bad_cap * Vb)-row problem, block-scattered over the output
         nbr_b = jnp.take_along_axis(
@@ -314,6 +397,12 @@ def _zwin_fwd_impl(feats, mask_out, nbr_idx, weight, f_in, f_out, stride,
             (b, n_bad_cap, block_v)).reshape(b, n_bad_cap * block_v)
         corr = zband_conv_apply(feats, mask_b, nbr_b, weight,
                                 f_in, f_out, stride)
+        if epi:
+            lane_b = jnp.take_along_axis(
+                lane_exp.reshape(b, nb, block_v * l_out),
+                bad_ids[:, :, None], axis=1).reshape(
+                    b, n_bad_cap * block_v, l_out)
+            corr = finish(corr, mask_b, lane_rows=lane_b)
         ids_safe = jnp.where(is_bad, bad_ids, nb)        # drop pad slots
         out3 = out.reshape(b, nb, block_v * l_out)
         corr3 = corr.reshape(b, n_bad_cap, block_v * l_out)
@@ -323,12 +412,59 @@ def _zwin_fwd_impl(feats, mask_out, nbr_idx, weight, f_in, f_out, stride,
 
     def xla_path(operands):
         del operands
-        return zband_conv_apply(feats, jnp.ones_like(mask_out), nbr_idx,
-                                weight, f_in, f_out, stride)
+        y = zband_conv_apply(feats, jnp.ones_like(mask_out), nbr_idx,
+                             weight, f_in, f_out, stride)
+        return finish(y, jnp.ones_like(mask_out),
+                      lane_rows=lane_exp if epi else None)
 
     out = jax.lax.cond(n_bad > n_bad_cap, xla_path, pallas_then_patch,
                        (feats_pad, rel, blk, w_cat))
     return jnp.where(mask_out[..., None], out, 0)
+
+
+def zwin_conv_infer(feats: jnp.ndarray, mask_out: jnp.ndarray,
+                    nbr_idx: jnp.ndarray, weight: jnp.ndarray,
+                    f_in: int, f_out: int, stride: int,
+                    block_v: int = 128, n_win: int = 4,
+                    bad_frac: float = 0.125, merged: bool = False,
+                    plan: ZwinPlan | None = None,
+                    affine=None, act: bool = True,
+                    lane_exp: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Eval-only zwin conv with the BN affine + ReLU + lane mask fused
+    into the kernel epilogue and an optional precomputed per-stage plan.
+
+    affine: (inv_b, bias_b) — (L_out,) fp32 vectors with
+    y = conv * inv_b + bias_b == the eval-mode MaskedBatchNorm affine;
+    lane_exp: (B, S_out, L_out) lane multiplier (expand_lane_mask).
+    No custom VJP: training uses zwin_conv_apply (unfused BN stats).
+    """
+    b, s_in, l_in = feats.shape
+    cin = weight.shape[1]
+    s_out = nbr_idx.shape[1]
+    if (s_out % block_v != 0 or s_in < block_v or l_in != f_in * cin):
+        y = zband_conv_apply(feats, mask_out, nbr_idx, weight,
+                             f_in, f_out, stride)
+        if affine is not None:
+            yf = y.astype(jnp.float32) * affine[0][None, None, :] \
+                + affine[1][None, None, :]
+            if act:
+                yf = jnp.maximum(yf, 0.0)
+            if lane_exp is not None:
+                yf = yf * lane_exp.astype(jnp.float32)
+            y = jnp.where(mask_out[..., None], yf, 0.0).astype(feats.dtype)
+        return y
+    epilogue = None
+    if affine is not None:
+        epilogue = (affine[0], affine[1], lane_exp, act)
+    return _zwin_run(feats, mask_out, nbr_idx, weight, f_in, f_out, stride,
+                     block_v, n_win, bad_frac, merged, plan=plan,
+                     epilogue=epilogue)
+
+
+def _zwin_fwd_impl(feats, mask_out, nbr_idx, weight, f_in, f_out, stride,
+                   block_v, n_win, bad_frac, merged=False):
+    return _zwin_run(feats, mask_out, nbr_idx, weight, f_in, f_out, stride,
+                     block_v, n_win, bad_frac, merged)
 
 
 def _zwin_fwd(feats, mask_out, nbr_idx, weight, f_in, f_out, stride,

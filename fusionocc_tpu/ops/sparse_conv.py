@@ -331,12 +331,21 @@ def _index_from_table_one(table: jnp.ndarray, out_coords, out_mask,
     # padded-table slice base: index c reads cell c-1; taps dz in {0,1,2}
     # live at c+dz with c = the (x', y', z*stride) cell index
     c = jnp.where(ok_xy, (qx * sy + qy) * sz + zb, n_cells)
+    # the 3 dz taps read CONSECUTIVE table entries table[c..c+2]: one
+    # slice-gather (slice_sizes=3) pays one random-access latency per
+    # (dx, dy) instead of three — the tap gathers are the dominant table
+    # cost on TPU (results/round5_tables.log: latency-, not
+    # bandwidth-bound on the 164 MB stage-0 table)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2,), collapsed_slice_dims=(), start_index_map=(0,))
+    nbr3 = jax.lax.gather(
+        table, c.reshape(9, -1, 1), dnums, slice_sizes=(3,),
+        mode=jax.lax.GatherScatterMode.CLIP)                # (9, V, 3)
     taps = []
     for dz in range(3):
-        nbr_dz = jnp.take(table, c + dz, mode='clip')             # (9, V)
         zt = zb + dz - 1
         ok = ok_xy & (zt >= 0) & (zt < sz)
-        taps.append(jnp.where(ok, nbr_dz, v_in))
+        taps.append(jnp.where(ok, nbr3[:, :, dz], v_in))
     nbr = jnp.stack(taps, axis=1)                # (9, 3, V) tap-major
     return jnp.transpose(nbr.reshape(27, -1))   # (V_out, 27)
 

@@ -189,3 +189,30 @@ def test_zwin_static_fallback_shapes():
                           block_v=7, n_win=2)   # 96 % 7 != 0 -> fallback
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_encoder_zwin_fused_epilogue_matches_unfused():
+    """Eval-mode fused BN+ReLU+lane-mask kernel epilogue + shared stage
+    plan (zwin_fuse=True, ops/pallas/zwin_conv.py::zwin_conv_infer) ==
+    the unfused zwin path, all stages sparse (dense_from=4)."""
+    from fusionocc_tpu.config import tiny_model_config
+    from fusionocc_tpu.data.synthetic import synthetic_batch
+    from fusionocc_tpu.models.lidar_encoder import SparseEncoder
+
+    cfg = tiny_model_config()
+    b = synthetic_batch(cfg, batch_size=1, seed=5)
+    base = dataclasses.replace(cfg.lidar, backend='zfold', zconv='zwin',
+                               zwin_block=16, zwin_nwin=4, dense_from=4)
+    lc_fused = dataclasses.replace(base, zwin_fuse=True)
+    lc_plain = dataclasses.replace(base, zwin_fuse=False)
+    enc_f = SparseEncoder(lc_fused, cfg.grid, dtype=jnp.float32)
+    enc_p = SparseEncoder(lc_plain, cfg.grid, dtype=jnp.float32)
+    var = enc_p.init(jax.random.PRNGKey(1), b.points, b.points_mask,
+                     train=False)
+    # non-trivial BN statistics so the affine really is exercised
+    var = jax.tree.map(
+        lambda v: v + 0.1 if v.ndim == 1 else v, var)
+    ref = enc_p.apply(var, b.points, b.points_mask, train=False)
+    got = enc_f.apply(var, b.points, b.points_mask, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)

@@ -45,27 +45,21 @@ def main():
     # overflow-dominated).  Usable span = (n_win-1)*block_v: b256n4 and
     # b512n3 match/beat b128n6's 640 rows while halving/quartering the
     # block count (fixed cost per conv ~ blocks x taps).
+    # Round-5 second sweep, after three changes (all default-on):
+    #   - fused eval BN+ReLU+lane-mask kernel epilogue + shared per-stage
+    #     window plan (zwin_fuse, zwin_conv.py::zwin_conv_infer)
+    #   - dense-conv tail from stage 3 (dense_from=3)
+    #   - 3-wide slice-gather tap reads in the index-table builds
+    # Earlier round-5 numbers (results/round5_zwin.log, pre-changes):
+    # all-sparse unfused 303.6 ms, dense3 unfused 293.5 ms.
     base = dict(backend='zfold', zconv='zwin', zwin_nwin=6,
-                zwin_bad_frac=0.0625)
+                zwin_bad_frac=0.0625, dense_from=3)
     variants = [
-        ('zwin b128 n6 bf.0625', dict(base)),
-        ('zwin b256 n4 bf.0625', dict(base, zwin_block=256, zwin_nwin=4)),
-        ('zwin b512 n3 bf.0625', dict(base, zwin_block=512, zwin_nwin=3)),
-        # merged-tap kernel body (round-5: one stacked selection matmul +
-        # one banded weight matmul per dx instead of 9 of each)
-        ('zwin b128 n6 MERGED', dict(base, zwin_merged=True)),
-        ('zwin b256 n4 MERGED', dict(base, zwin_block=256, zwin_nwin=4,
-                                     zwin_merged=True)),
-        ('zwin b512 n3 MERGED', dict(base, zwin_block=512, zwin_nwin=3,
-                                     zwin_merged=True)),
-        # dense-conv tail: stages >= dense_from as masked dense convs
-        ('zwin + dense_from=3 zbatch', dict(base, dense_from=3)),
-        ('zwin + dense_from=2 zbatch', dict(base, dense_from=2)),
-        ('zwin + dense_from=2 xla3d', dict(base, dense_from=2,
-                                           dense_mode='xla3d')),
-        ('zwin + dense_from=1 zbatch', dict(base, dense_from=1)),
-        ('MERGED + dense_from=2 zbatch', dict(base, zwin_merged=True,
-                                              dense_from=2)),
+        ('DEFAULT fused+dense3', dict(base)),
+        ('unfused (zwin_fuse=0)', dict(base, zwin_fuse=False)),
+        ('fused, all-sparse (dense4)', dict(base, dense_from=4)),
+        ('fused dense3 b256n4', dict(base, zwin_block=256, zwin_nwin=4)),
+        ('fused dense3 n4', dict(base, zwin_nwin=4)),
     ]
     enc_i = SparseEncoder(dataclasses.replace(lcfg, **variants[0][1]),
                           cfg.grid, dtype=cfg.dtype)
