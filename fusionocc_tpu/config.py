@@ -171,29 +171,40 @@ class SparseEncoderConfig:
     #            row gathers into 3 contiguous window DMAs per output block
     #            + one-hot MXU row selection in VMEM; exact (lax.cond
     #            fallback to zband when a window overflows).
-    zconv: str = 'zband'
+    # Round-5 default flip to zwin: encoder e2e 331.6 (zband) -> 291.6 ms
+    # (zwin b128 n6 bf.03125 + dense_from=3 + shared plans,
+    # results/round5_zwin3.log); training forward also runs the kernel,
+    # backward recomputes through zband's VJP (test_zwin grads).
+    zconv: str = 'zwin'
     # zwin kernel tiling: output rows per grid step, and window size in
     # blocks (usable neighbor span = (zwin_nwin-1)*zwin_block rows).
     zwin_block: int = 128
-    zwin_nwin: int = 4
+    zwin_nwin: int = 6
     # Overflow-block recompute capacity as a fraction of the output
     # blocks: blocks whose span exceeds the window (the x-slab-boundary
     # tail, tools/check_zwin_spans.py: p99 span ~2-5 blocks but max up to
     # 16) are recomputed exactly by a compacted zband pass; only past
     # this cap does the whole layer fall back.
-    zwin_bad_frac: float = 0.125
+    # Round-5 sweep (results/round5_zwin3.log): the patch pass runs at
+    # static capacity every conv, so smaller is faster — 0.0625 -> 296.6,
+    # 0.03125 -> 291.6, 0.015625 -> 288.9 ms e2e; 0.0078 tips into the
+    # whole-layer fallback (303.3).  0.03125 keeps ~2x margin over the
+    # measured bad-block count for denser-than-benchmark clouds.
+    zwin_bad_frac: float = 0.03125
     # Merged-tap zwin kernel body: per dx ONE stacked one-hot selection
     # matmul + ONE banded weight matmul instead of 9 of each (the round-4
     # bisection shows the kernel is per-matmul-cost bound, not FLOP bound;
     # ops/pallas/zwin_conv.py::_make_kernel_merged).
     zwin_merged: bool = False
     # Fuse the eval-mode BN affine + ReLU + lane mask into the zwin
-    # kernel epilogue and share one window plan across a stage's convs
-    # (ops/pallas/zwin_conv.py::zwin_conv_infer).  Round-5 micro showed
-    # the in-program conv cost is 2-3x the isolated kernel cost — the
-    # per-conv XLA glue, not the matmuls, is the gap.  Training always
-    # uses the unfused path (batch stats + custom VJP).
-    zwin_fuse: bool = True
+    # kernel epilogue (ops/pallas/zwin_conv.py::zwin_conv_infer).
+    # Measured SLOWER on chip (round-5: 302.0 fused vs 295.0 unfused
+    # e2e, results/round5_zwin2.log): XLA already fuses the BN
+    # elementwise chain, while the epilogue forces materializing the
+    # (B, S, L_out) lane multiplier as a kernel input.  Kept for
+    # reference / future layouts; default OFF.  The per-stage window
+    # plan (zwin_plan) is shared across a stage's convs regardless.
+    zwin_fuse: bool = False
     # kernel columns per zslice scan step (divisor of 9): bounds live
     # window temps at col_chunk * (B, S, 3*F*Cin)
     col_chunk: int = 3
@@ -216,6 +227,10 @@ class SparseEncoderConfig:
     # 'stage0'.., 'conv_out'); '' runs the full encoder.  Used by
     # tools/profile_lidar.py for the on-chip stage bisection.
     stop_after: str = ''
+    # Profiling support: run the zfold stages with BN+ReLU stripped from
+    # every sparse conv (numbers INVALID — attribution of the per-conv
+    # XLA elementwise glue only; tools/profile_zwin.py).
+    profile_no_bn: bool = False
     # Training memory: jax.checkpoint each zfold conv apply so the
     # backward recomputes the 27-tap gather instead of holding the
     # (B, S, taps*F*Cin) gather temp as a jvp residual — the largest

@@ -97,9 +97,9 @@ class SubMConvBN(nn.Module):
             y = tile_subm_conv(feats, mask, nbr_idx, w)
         elif self.fold and self.zconv == 'zwin':
             if not train and self.norm and self.zwin_fuse:
-                # eval serving: BN affine + ReLU + lane mask fused into
-                # the kernel epilogue; the per-stage plan (window bases,
-                # overflow compaction) is shared across the stage's convs
+                # BN affine + ReLU + lane mask fused into the kernel
+                # epilogue — measured slower than letting XLA fuse the
+                # elementwise chain (config.py zwin_fuse); kept opt-in
                 inv, bshift = MaskedBatchNorm(
                     fold=self.fold, dtype=self.dtype,
                     channels=self.features)(None, None)
@@ -114,11 +114,20 @@ class SubMConvBN(nn.Module):
                     lane_exp=expand_lane_mask(lane_mask, self.features,
                                               self.dtype))
                 return y
-            y = maybe_ckpt(lambda f, m, n, k: zwin_conv_apply(
-                f, m, n, k, self.fold, self.fold, 1,
-                block_v=self.zwin_block, n_win=self.zwin_nwin,
-                bad_frac=self.zwin_bad_frac, merged=self.zwin_merged))(
-                feats, mask, nbr_idx, w)
+            elif not train:
+                # eval: shared per-stage window plan, unfused epilogue
+                y = zwin_conv_infer(
+                    feats, mask, nbr_idx, w, self.fold, self.fold, 1,
+                    block_v=self.zwin_block, n_win=self.zwin_nwin,
+                    bad_frac=self.zwin_bad_frac, merged=self.zwin_merged,
+                    plan=zplan)
+            else:
+                y = maybe_ckpt(lambda f, m, n, k: zwin_conv_apply(
+                    f, m, n, k, self.fold, self.fold, 1,
+                    block_v=self.zwin_block, n_win=self.zwin_nwin,
+                    bad_frac=self.zwin_bad_frac,
+                    merged=self.zwin_merged))(
+                    feats, mask, nbr_idx, w)
         elif self.fold and self.zconv == 'zslice':
             y = maybe_ckpt(lambda f, m, n, k: zslice_conv_apply(
                 f, m, n, k, self.fold, self.fold, 1,
@@ -157,6 +166,7 @@ class SparseConvBNStride2(nn.Module):
     the matching layout.  Parameter tree is backend-independent.
     """
     features: int
+    norm: bool = True      # False: profiling only (config.profile_no_bn)
     tile: bool = False
     dense: str = ''        # 'xla3d'/'zbatch': masked dense conv (dense_conv)
     fold_in: int = 0       # >0: zfold super rows (ops/zfold.py)
@@ -191,7 +201,7 @@ class SparseConvBNStride2(nn.Module):
         elif self.tile:
             y = tile_strided_apply(feats, nbr_idx, w)
         elif self.fold_in and self.zconv == 'zwin':
-            if not train and self.zwin_fuse:
+            if not train and self.zwin_fuse and self.norm:
                 inv, bshift = MaskedBatchNorm(
                     fold=self.fold_out, dtype=self.dtype,
                     channels=self.features)(None, None)
@@ -227,6 +237,8 @@ class SparseConvBNStride2(nn.Module):
             y = sparse_conv_apply_block(feats, out_mask, nbr_idx, w)
         else:
             y = sparse_conv_apply(feats, out_mask, nbr_idx, w)
+        if not self.norm:   # profiling only (config.profile_no_bn)
+            return y
         bn_mask = out_lane_mask if self.fold_in else out_mask
         y = MaskedBatchNorm(fold=self.fold_out, dtype=self.dtype)(
             y, bn_mask, train=train)
@@ -342,7 +354,7 @@ class SparseEncoder(nn.Module):
             # routes through zwin_conv_apply's custom VJP)
             s_cap = zf.feats.shape[1]
             zplan = None
-            if (not train and cfg.zconv == 'zwin' and cfg.zwin_fuse
+            if (not train and cfg.zconv == 'zwin'
                     and nbr.shape[1] % cfg.zwin_block == 0
                     and s_cap >= cfg.zwin_block):
                 zplan = zwin_plan(nbr, s_cap, cfg.zwin_block,
@@ -356,6 +368,8 @@ class SparseEncoder(nn.Module):
                                zwin_bad_frac=cfg.zwin_bad_frac,
                                zwin_merged=cfg.zwin_merged,
                                zwin_fuse=cfg.zwin_fuse,
+                               norm=not cfg.profile_no_bn,
+                               act=not cfg.profile_no_bn,
                                remat=cfg.remat_conv,
                                name=f'stage{i}_subm{j}')(
                     f, zf.mask, nbr, train=train, lane_mask=zf.lane_mask,
@@ -376,6 +390,7 @@ class SparseEncoder(nn.Module):
                                         zwin_bad_frac=cfg.zwin_bad_frac,
                                         zwin_merged=cfg.zwin_merged,
                                         zwin_fuse=cfg.zwin_fuse,
+                                        norm=not cfg.profile_no_bn,
                                         remat=cfg.remat_conv,
                                         name=f'stage{i}_down')(
                     f, om, snbr, train=train, out_lane_mask=out_lane)

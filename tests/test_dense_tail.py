@@ -72,8 +72,15 @@ def test_strided_out_mask_matches_downsample_rule():
 def _encoders(cfg, dense_from, dense_mode):
     from fusionocc_tpu.models.lidar_encoder import SparseEncoder
     ample = dict(voxel_capacity=(4096, 8192, 4096, 2048),
-                 zfold_capacity=(4096, 8192, 4096, 2048))
-    lc_z = dataclasses.replace(cfg.lidar, backend='zfold', **ample)
+                 zfold_capacity=(4096, 8192, 4096, 2048),
+                 # pin the XLA z-band formulation: the round-5
+                 # zconv='zwin' default would run interpret-mode
+                 # Pallas at these capacities (minutes per conv on
+                 # CPU); zwin equivalence has its own small-block
+                 # tests in test_zwin.py
+                 zconv='zband')
+    lc_z = dataclasses.replace(cfg.lidar, backend='zfold', dense_from=4,
+                               **ample)
     lc_d = dataclasses.replace(lc_z, dense_from=dense_from,
                                dense_mode=dense_mode)
     return (SparseEncoder(lc_z, cfg.grid, dtype=jnp.float32),

@@ -253,7 +253,13 @@ def test_encoder_zfold_matches_coo():
     # ample capacities: under overflow the two backends truncate at
     # different granularities (cells vs supers) and can't match bit-wise
     ample = dict(voxel_capacity=(4096, 8192, 4096, 2048),
-                 zfold_capacity=(4096, 8192, 4096, 2048))
+                 zfold_capacity=(4096, 8192, 4096, 2048),
+                 # pin the XLA z-band formulation: the round-5
+                 # zconv='zwin' default would run interpret-mode
+                 # Pallas at these capacities (minutes per conv on
+                 # CPU); zwin equivalence has its own small-block
+                 # tests in test_zwin.py
+                 zconv='zband')
     lc_coo = dataclasses.replace(cfg.lidar, backend='coo', **ample)
     lc_z = dataclasses.replace(cfg.lidar, backend='zfold', **ample)
 

@@ -36,6 +36,8 @@ import numpy as np
 def main():
     import jax
     jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_test_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     import jax.numpy as jnp  # noqa: F401
 
     from fusionocc_tpu.config import tiny_model_config
@@ -52,13 +54,22 @@ def main():
     variables = jax.jit(lambda bb: model.init(
         {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
         bb, train=False))(b0)
+    # untrained weights collapse the argmax to one class (agreement is
+    # then trivially 1.0) — perturb the params so the head produces a
+    # varied class map and the mode-vs-mode divergence is non-degenerate
+    rngs = np.random.RandomState(7)
+    variables = dict(variables)
+    variables['params'] = jax.tree.map(
+        lambda v: v + (0.3 * float(np.std(np.asarray(v)) or 1.0) + 0.05)
+        * rngs.randn(*v.shape).astype(np.float32),
+        variables['params'])
 
     full_fn = jax.jit(lambda v, bb: model.apply(
         v, bb, train=False)['occ_logits'])
     step_fn = jax.jit(lambda v, bb, s: model.apply(
         v, bb, s, method=FusionOcc.predict_streaming))
 
-    hist = np.zeros((ncls, ncls), np.int64)
+    hist = np.zeros((ncls, ncls), np.float64)
     per_frame_agree = [[] for _ in range(n_frames)]
     mae_num = mae_den = 0.0
     for scene in range(n_scenes):

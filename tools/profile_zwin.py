@@ -52,15 +52,34 @@ def main():
     #   - 3-wide slice-gather tap reads in the index-table builds
     # Earlier round-5 numbers (results/round5_zwin.log, pre-changes):
     # all-sparse unfused 303.6 ms, dense3 unfused 293.5 ms.
+    # Third round-5 sweep: the overflow-patch zband pass runs at STATIC
+    # capacity ceil(bad_frac*nb) blocks every conv (~42 blocks = 5376
+    # compacted rows at b128 bf.0625) whether or not blocks actually
+    # overflow — its 27-tap row gathers are a fixed per-conv tax.  Sweep
+    # bad_frac down; plan-sharing (zwin_plan) is now default-on.
     base = dict(backend='zfold', zconv='zwin', zwin_nwin=6,
                 zwin_bad_frac=0.0625, dense_from=3)
     variants = [
-        ('DEFAULT fused+dense3', dict(base)),
-        ('unfused (zwin_fuse=0)', dict(base, zwin_fuse=False)),
-        ('fused, all-sparse (dense4)', dict(base, dense_from=4)),
-        ('fused dense3 b256n4', dict(base, zwin_block=256, zwin_nwin=4)),
-        ('fused dense3 n4', dict(base, zwin_nwin=4)),
+        ('DEFAULT plan+dense3 bf.0625', dict(base)),
+        ('bf.03125 (21-block patch)', dict(base, zwin_bad_frac=0.03125)),
+        ('bf.015625 (11-block patch)', dict(base, zwin_bad_frac=0.015625)),
+        ('bf.0078 (6-block patch)', dict(base, zwin_bad_frac=0.0078125)),
+        ('n4 bf.03125', dict(base, zwin_nwin=4, zwin_bad_frac=0.03125)),
+        # diagnostic: BN+ReLU stripped from all sparse convs (numbers
+        # INVALID — isolates the per-conv XLA elementwise glue share)
+        ('NO-BN diagnostic', dict(base, zwin_bad_frac=0.03125,
+                                  profile_no_bn=True)),
     ]
+    # launch-floor reference: a scalar-output reduce of a small on-device
+    # array.  Every single-call row in this tool includes this floor;
+    # subtract it to read true device time (it drifts session to session:
+    # round-2 measured ~30 ms, interpret today's rows against THIS row).
+    small = jax.device_put(np.ones((128, 128), np.float32))
+    floor_fn = jax.jit(lambda x: jnp.sum(x) * 1.000001)
+    scalar_barrier(floor_fn(small))
+    dt = best_call_seconds(floor_fn, small, n=5, warm=False)
+    print(f'launch floor (scalar sum)      {dt * 1e3:9.1f} ms', flush=True)
+
     enc_i = SparseEncoder(dataclasses.replace(lcfg, **variants[0][1]),
                           cfg.grid, dtype=cfg.dtype)
     var = jax.jit(lambda p, m: enc_i.init(
@@ -70,16 +89,21 @@ def main():
     for label, kw in variants:
         lc = dataclasses.replace(lcfg, **kw)
         enc = SparseEncoder(lc, cfg.grid, dtype=cfg.dtype)
+        v_use = var
+        if kw.get('profile_no_bn'):   # different param tree: own init
+            v_use = jax.jit(lambda p, m, e=enc: e.init(
+                jax.random.PRNGKey(0), p, m, train=False))(
+                    b.points, b.points_mask)
         enc_fn = jax.jit(lambda v, p, m, e=enc: e.apply(v, p, m,
                                                         train=False))
         try:
-            out = enc_fn(var, b.points, b.points_mask)
+            out = enc_fn(v_use, b.points, b.points_mask)
             scalar_barrier(out)
         except Exception as e:
             print(f'{label:28s} FAILED {type(e).__name__}: {str(e)[:300]}',
                   flush=True)
             continue
-        dt = best_call_seconds(enc_fn, var, b.points, b.points_mask,
+        dt = best_call_seconds(enc_fn, v_use, b.points, b.points_mask,
                                n=3, warm=False)
         print(f'encoder e2e [{label:28s}] {dt * 1e3:9.1f} ms', flush=True)
 
